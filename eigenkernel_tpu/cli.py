@@ -1,0 +1,173 @@
+"""eigenkernel_app — the end-to-end CLI driver (main.f90 analog).
+
+Same run shape and event names as the reference ``program eigbench``:
+
+  parse args -> probe headers -> validate -> read MM files -> place on
+  devices -> solve -> write eigenvalues.dat -> optional eigenvector files ->
+  ipratios.dat -> optional residual / orthogonality checks -> log.json
+
+Every phase is timed into the accumulating event log with the reference's
+hierarchical names (``main:read_command_argument`` ... ``main``), so
+``log.json`` is comparable entry-for-entry with an EigenKernel run
+(main.f90:54-190).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    t_start = time.time()
+
+    from eigenkernel_tpu.core import config as cfg
+    from eigenkernel_tpu.obs.events import EventLog
+
+    log = EventLog(stream=True, epoch=t_start)
+
+    try:
+        arg = cfg.parse_args(argv)
+    except cfg.ArgumentError as exc:
+        print(f"[Error] {exc}", file=sys.stderr)
+        return 1
+
+    # --- jax setup (before any jax import users)
+    import jax
+
+    if arg.platform:
+        jax.config.update("jax_platforms", arg.platform)
+    if arg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from eigenkernel_tpu.core.config import (
+        finalize_args, print_command_argument, required_memory,
+        settings_json, validate_args)
+    from eigenkernel_tpu.io import matrix_market as mm
+    from eigenkernel_tpu.io import outputs
+    from eigenkernel_tpu.parallel import mesh as meshlib
+    from eigenkernel_tpu.solvers.api import solve
+    from eigenkernel_tpu.solvers.registry import get_spec
+    from eigenkernel_tpu.verify import (
+        eval_orthogonality, eval_residual_norm, get_ipratios)
+
+    # --- header probe (wrap_mminfo analog) + defaults
+    t0 = time.time()
+    try:
+        arg.matrix_A_info = mm.read_header(arg.matrix_A_filename)
+        if arg.is_generalized_problem:
+            arg.matrix_B_info = mm.read_header(arg.matrix_B_filename)
+    except (OSError, mm.MatrixMarketError) as exc:
+        print(f"[Error] mminfo failed: {exc}", file=sys.stderr)
+        return 1
+    finalize_args(arg)
+
+    print("---------- Eigen Test start ----------")
+    print("----- Configurations -----")
+    print_command_argument(arg)
+    n_dev = len(jax.devices())
+    mem = required_memory(arg, n_dev)
+    if mem > 0:
+        print(f"approximate required memory per device (Mbytes): "
+              f"{mem / 2**20:10.1f}")
+    print(f"devices: {n_dev} ({jax.devices()[0].platform})")
+    log.add_event("main:read_command_argument", time.time() - t0)
+
+    try:
+        validate_args(arg)
+    except (cfg.ArgumentError, Exception) as exc:
+        if isinstance(exc, cfg.ArgumentError) or \
+                type(exc).__name__ == "UnknownSolverError":
+            print(f"[Error] {exc}", file=sys.stderr)
+            return 1
+        raise
+
+    spec = get_spec(arg.solver_type)
+
+    # --- read matrices (read_matrix_file analog)
+    t0 = time.time()
+    try:
+        mat_a = mm.read_matrix(arg.matrix_A_filename, arg.matrix_A_info, log)
+        mat_b = mm.read_matrix(arg.matrix_B_filename, arg.matrix_B_info,
+                               log) if arg.is_generalized_problem else None
+    except (OSError, mm.MatrixMarketError) as exc:
+        print(f"[Error] read_matrix_file failed: {exc}", file=sys.stderr)
+        return 1
+    log.add_event("main:read_matrix_files", time.time() - t0)
+
+    # --- mesh setup + host->device "broadcast"
+    t0 = time.time()
+    dtype = np.float64 if arg.dtype == "float64" else np.float32
+    mesh = None
+    if not spec.single_device and n_dev > 1:
+        mesh = meshlib.make_mesh(shape=arg.mesh_shape)
+    if arg.is_printing_grid_mapping:
+        meshlib.print_grid_mapping(mesh or meshlib.single_device_mesh())
+    a_dense = mat_a.to_dense(dtype)
+    b_dense = mat_b.to_dense(dtype) if mat_b is not None else None
+    log.add_event("main:bcast_sparse_matrices", time.time() - t0)
+
+    if arg.is_dry_run:
+        print("\ndry run mode, exit")
+        outputs.write_log_json(
+            arg.log_filename,
+            settings_json(arg, "eigenkernel_app " + " ".join(argv),
+                          arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
+        return 0
+
+    # --- solve (eigen_solver analog)
+    print("\n----- Solver Call -----")
+    t0 = time.time()
+    pairs = solve(a_dense, b_dense, solver=arg.solver_type,
+                  n_vec=arg.n_vec if spec.selecting else None,
+                  mesh=mesh, block_size=arg.block_size, log=log)
+    import jax as _jax
+    _jax.block_until_ready((pairs.values, pairs.vectors))
+    log.add_event("main:eigen_solver", time.time() - t0)
+
+    # --- outputs
+    t0 = time.time()
+    values_host = np.asarray(jax.device_get(pairs.values))
+    outputs.write_eigenvalues(arg.output_filename, values_host)
+    if arg.printed_vecs_ranges:
+        outputs.print_eigenvectors(pairs, arg.eigenvector_dir,
+                                   arg.printed_vecs_ranges,
+                                   arg.is_binary_output)
+    log.add_event("main:print_eigenpairs", time.time() - t0)
+
+    t0 = time.time()
+    ipr = get_ipratios(pairs, b_dense)
+    outputs.write_ipratios(arg.ipratios_filename, ipr)
+    log.add_event("main:compute_and_print_ipratios", time.time() - t0)
+
+    # --- checks
+    t0 = time.time()
+    if arg.n_check_vec != 0:
+        print("\n----- Checker Call -----")
+        a_norm, rn_ave, rn_max = eval_residual_norm(
+            a_dense, pairs, arg.n_check_vec, b_dense)
+        print(f"A norm: {a_norm:15.8E}")
+        print(f"residual norm (average): {rn_ave:15.8E}")
+        print(f"residual norm (max):     {rn_max:15.8E}")
+    log.add_event("main:eval_residual_norm", time.time() - t0)
+
+    t0 = time.time()
+    if arg.ortho_check_index_start != 0:
+        ortho = eval_orthogonality(pairs, arg.ortho_check_index_start,
+                                   arg.ortho_check_index_end, b_dense)
+        print(f"orthogonality criterion: {ortho:15.8E}")
+    log.add_event("main:eval_orthogonality", time.time() - t0)
+    log.add_event("main", time.time() - t_start)
+
+    outputs.write_log_json(
+        arg.log_filename,
+        settings_json(arg, "eigenkernel_app " + " ".join(argv),
+                      arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,184 @@
+"""Blocked Householder tridiagonalization + compact-WY back-transform.
+
+TPU-native equivalents of:
+
+* ``tridiagonalize``  <- ``pdsytrd`` (solver_scalapack_all.f90:59) — one-stage
+  reduction of a dense symmetric matrix to tridiagonal form, lower variant.
+* ``apply_q``         <- ``pdormtr`` (solver_scalapack_all.f90:115) — applies
+  the accumulated orthogonal factor to (tridiagonal-basis) eigenvectors.
+
+Algorithm (LAPACK dsytrd/dlatrd structure, re-shaped for XLA):
+
+The matrix is processed in panels of ``block`` columns over a *shrinking
+trailing submatrix* (static Python loop -> each trailing shape compiles
+once, GEMM flops stay at the LAPACK-optimal order).  Inside a panel, a
+``lax.fori_loop`` performs the sequential Householder steps on full-length
+masked vectors (static shapes; the loop index only moves masks and dynamic
+slices), accumulating the panel's ``V`` and ``W = tau*(A v - corrections)``
+columns.  The O(n^3) trailing update ``A <- A - V W^T - W V^T`` is one
+rank-2b GEMM per panel — MXU work, sharded over the mesh when one is given.
+V/W buffers start zeroed and are filled column-by-column, so "use only
+columns < j" masking is implicit.
+
+The back-transform applies panels in reverse with the compact-WY identity
+
+    H_s H_{s+1} ... H_{s+b-1} = I - V T V^T,
+    T = inv( diag(1/tau) + striu(V^T V) )
+
+so eigenvector recovery is pure GEMMs plus one tiny ``b x b`` triangular
+inverse per panel (the identity used by GPU/accelerator ormtr codes; taus of
+zero — identity reflectors — are handled by a safe diagonal).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from eigenkernel_tpu.ops.blocked import _wsc
+
+
+class TridiagResult(NamedTuple):
+    d: jax.Array      # (n,)   diagonal of T
+    e: jax.Array      # (n-1,) subdiagonal of T
+    V: jax.Array      # (n, n) Householder vectors, column c = v_c (v[c+1]=1)
+    taus: jax.Array   # (n,)   reflector coefficients (0 => identity)
+
+
+def _householder(x_masked: jax.Array, alpha: jax.Array, pivot: jax.Array,
+                 m: int):
+    """Householder reflector eliminating ``x`` strictly below ``pivot``.
+
+    ``x_masked`` must already be zero at rows <= pivot.  Returns (v, tau,
+    beta) with ``v[pivot] = 1``, zeros above, such that
+    ``(I - tau v v^T) x_col = beta e_pivot`` where ``x_col`` is the column
+    with value ``alpha`` at the pivot and ``x_masked`` below.
+    """
+    dtype = x_masked.dtype
+    sigma = jnp.sum(x_masked * x_masked)
+    zero_tail = sigma == 0
+    sgn = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
+    mu = jnp.sqrt(alpha * alpha + sigma)
+    beta = jnp.where(zero_tail, alpha, -sgn * mu)
+    denom = jnp.where(zero_tail, 1.0, alpha - beta).astype(dtype)
+    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    pivot_onehot = (rows == pivot).astype(dtype)
+    live = jnp.logical_not(zero_tail).astype(dtype)
+    v = x_masked / denom + live * pivot_onehot
+    tau = jnp.where(zero_tail, 0.0,
+                    (beta - alpha) / jnp.where(beta == 0, 1.0, beta))
+    return v.astype(dtype), tau.astype(dtype), beta.astype(dtype)
+
+
+def tridiagonalize(a: jax.Array, block: int = 64,
+                   mesh: Optional[Mesh] = None) -> TridiagResult:
+    """Reduce symmetric ``a`` to tridiagonal ``T = Q^T A Q`` (pdsytrd analog).
+
+    Returns d, e and the (V, taus) representation of
+    ``Q = H_0 H_1 ... H_{n-3}`` with ``A = Q T Q^T``.
+    """
+    n = a.shape[0]
+    dtype = a.dtype
+    if n % block != 0:
+        raise ValueError(f"dim {n} not divisible by block {block}")
+    a = _wsc(a, mesh)
+    d = jnp.zeros((n,), dtype)
+    e = jnp.zeros((max(n - 1, 1),), dtype)
+    taus = jnp.zeros((n,), dtype)
+    vstore = jnp.zeros((n, n), dtype)
+
+    for s in range(0, n, block):
+        b = block
+        m = n - s                     # trailing size, static
+        at = a[s:, s:]                # (m, m) current trailing submatrix
+        rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+        e_rows = lax.broadcasted_iota(jnp.int32, (e.shape[0],), 0)
+
+        def panel_step(j, carry, at=at, rows=rows, e_rows=e_rows, m=m, s=s,
+                       b=b):
+            V, W, d, e, taus = carry
+            # -- current column with pending panel updates applied:
+            #    a_col = At[:, j] - V W[j,:]^T - W V[j,:]^T  (local frame)
+            a_col = lax.dynamic_slice(at, (0, j), (m, 1))[:, 0]
+            w_row = lax.dynamic_slice(W, (j, 0), (1, b))[0]
+            v_row = lax.dynamic_slice(V, (j, 0), (1, b))[0]
+            a_col = a_col - V @ w_row - W @ v_row
+            d = d.at[s + j].set(a_col[j])
+            # -- Householder on rows > j+1, pivot j+1 (local)
+            pivot = j + 1
+            tail = jnp.where(rows > pivot, a_col, 0.0)
+            alpha = lax.dynamic_slice(
+                a_col, (jnp.minimum(pivot, m - 1),), (1,))[0]
+            v, tau, beta = _householder(tail, alpha, pivot, m)
+            live = s + j < n - 1
+            tau = jnp.where(live, tau, 0.0)
+            v = jnp.where(live, v, 0.0)
+            e = jnp.where((e_rows == s + j) & live, beta, e)
+            taus = taus.at[s + j].set(tau)
+            # -- w = tau * (At v - V (W^T v) - W (V^T v)), rows >= pivot
+            av = at @ v
+            av = av - V @ (W.T @ v) - W @ (V.T @ v)
+            w = tau * jnp.where(rows >= pivot, av, 0.0)
+            w = w - (0.5 * tau * (w @ v)) * v
+            V = lax.dynamic_update_slice(V, v[:, None], (0, j))
+            W = lax.dynamic_update_slice(W, w[:, None], (0, j))
+            return (V, W, d, e, taus)
+
+        V0 = jnp.zeros((m, b), dtype)
+        W0 = jnp.zeros((m, b), dtype)
+        V, W, d, e, taus = lax.fori_loop(
+            0, min(b, m), panel_step, (V0, W0, d, e, taus))
+        at = at - V @ W.T - W @ V.T
+        a = _wsc(a.at[s:, s:].set(at), mesh)
+        vstore = vstore.at[s:, s:s + b].set(V)
+
+    return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
+                         V=vstore, taus=taus)
+
+
+def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:
+    """Compact-WY T factor: ``H_1...H_b = I - V T V^T`` with T upper
+    triangular, via ``T = inv(diag(1/tau) + striu(V^T V))``.
+
+    taus of exactly 0 denote identity reflectors (their V column is zero);
+    the safe diagonal keeps the small inverse well defined.
+    """
+    b = taus.shape[0]
+    g = v.T @ v
+    inv_tau = 1.0 / jnp.where(taus == 0, 1.0, taus)
+    safe_diag = jnp.where(taus == 0, 1.0, inv_tau)
+    m = jnp.triu(g, k=1) + jnp.diag(safe_diag)
+    eye = jnp.eye(b, dtype=v.dtype)
+    return lax.linalg.triangular_solve(m, eye, left_side=True, lower=False)
+
+
+def apply_q(tri: TridiagResult, z: jax.Array, block: int = 64,
+            mesh: Optional[Mesh] = None, transpose: bool = False) -> jax.Array:
+    """``z <- Q z`` (or ``Q^T z``), Q from :func:`tridiagonalize`
+    (pdormtr analog).  Pure GEMMs: per panel ``z -= V (T (V^T z))``.
+    """
+    n = tri.V.shape[0]
+    panels = list(range(0, n, block))
+    if not transpose:
+        panels = panels[::-1]
+    z = _wsc(z, mesh)
+    for s in panels:
+        v = tri.V[:, s:s + block]
+        t = wy_t_factor(v, tri.taus[s:s + block])
+        t = t.T if transpose else t
+        z = z - v @ (t @ (v.T @ z))
+        z = _wsc(z, mesh)
+    return z
+
+
+def tridiag_matrix(d: jax.Array, e: jax.Array) -> jax.Array:
+    """Dense tridiagonal matrix from (d, e) — for tests/small fallbacks."""
+    n = d.shape[0]
+    t = jnp.diag(d)
+    if n > 1:
+        t = t + jnp.diag(e, 1) + jnp.diag(e, -1)
+    return t

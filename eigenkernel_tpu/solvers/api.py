@@ -1,0 +1,106 @@
+"""Top-level ``solve`` — the ``eigen_solver`` entry point (solver_main.f90:22).
+
+Responsibilities, mirroring the reference's registry hub:
+
+* dispatch ``-s`` name -> pipeline (select-case analog),
+* mesh setup for non-single-device solvers (``setup_distribution`` analog),
+* padding: matrix dims are padded to a multiple of the panel block and mesh
+  axes so every blocked slice and device shard is static and equal-sized —
+  the padding block of the standard matrix is "sentinelized" to sit above
+  the spectrum, so the lowest eigenpairs are exactly the real ones,
+* host->device placement with a 2D sharding (distribute/bcast analog),
+* slicing the padded solution back to the logical dimension.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from eigenkernel_tpu.core.types import EigenPairs
+from eigenkernel_tpu.obs.events import EventLog
+from eigenkernel_tpu.parallel import mesh as meshlib
+from eigenkernel_tpu.solvers import pipelines as pl
+from eigenkernel_tpu.solvers.registry import get_spec
+
+
+def _pick_gemm_block(n_pad: int, panel: int, target: int = 256) -> int:
+    """Largest multiple of ``panel`` dividing ``n_pad``, at most ~target."""
+    best = panel
+    k = 1
+    while True:
+        cand = panel * (k + 1)
+        if cand > target or (n_pad % cand) != 0:
+            break
+        k += 1
+        best = cand
+    return min(best, n_pad)
+
+
+def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
+          n_vec: Optional[int] = None, mesh: Optional[Mesh] = None,
+          block_size: int = 0, log: Optional[EventLog] = None,
+          dtype: Any = None) -> EigenPairs:
+    """Solve ``A x = lambda x`` or ``A x = lambda B x`` (B SPD).
+
+    ``a``/``b`` are host (or device) dense symmetric matrices.  Returns
+    eigenvalues ascending and eigenvectors in columns; for generalized
+    problems the vectors are B-orthonormal (dsygv convention).
+    """
+    spec = get_spec(solver)
+    if spec.generalized != (b is not None):
+        kind = "generalized" if b is not None else "standard"
+        raise ValueError(f"solver '{solver}' is not for {kind} problems")
+    if not spec.selecting and n_vec is not None and n_vec != a.shape[0]:
+        raise ValueError(
+            f"solver '{solver}' does not support partial computation")
+
+    n = int(a.shape[0])
+    if a.shape[0] != a.shape[1] or (b is not None and b.shape != a.shape):
+        raise ValueError("matrix dimension mismatch")
+    n_vec = n if n_vec is None else int(n_vec)
+    dtype = dtype or (a.dtype if hasattr(a, "dtype") and
+                      np.dtype(a.dtype).kind == "f" else jnp.float64)
+
+    panel = block_size if block_size > 0 else pl.DEFAULT_PANEL
+
+    if spec.single_device or spec.core == "eigh" and mesh is None:
+        mesh = None
+    ctx_mesh = mesh
+    grid = mesh if mesh is not None else meshlib.single_device_mesh()
+    panel = min(panel, max(8, 1 << (n - 1).bit_length()))  # don't over-pad tiny n
+    n_pad = meshlib.padded_dim(n, grid, panel)
+    gemm_block = _pick_gemm_block(n_pad, panel)
+
+    ctx = pl.SolverContext(mesh=ctx_mesh, block_size=panel,
+                           gemm_block=gemm_block, log=log)
+
+    # --- pad + place (distribute_global_sparse_matrix / bcast analog)
+    a_host = np.asarray(jax.device_get(a), dtype=np.dtype(dtype))
+    a_pad = np.zeros((n_pad, n_pad), dtype=a_host.dtype)
+    a_pad[:n, :n] = a_host
+    sharding = meshlib.mat_sharding(mesh) if mesh is not None else None
+    a_dev = jax.device_put(a_pad, sharding)
+
+    if b is None:
+        w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, spec.core)
+    else:
+        b_host = np.asarray(jax.device_get(b), dtype=a_host.dtype)
+        b_pad = np.eye(n_pad, dtype=a_host.dtype)
+        b_pad[:n, :n] = b_host
+        b_dev = jax.device_put(b_pad, sharding)
+        w, z = pl.generalized_pipeline(ctx, a_dev, b_dev, n_vec, n,
+                                       spec.core, spec.reduction)
+
+    values = w[:n_vec]
+    vectors = z[:n, :n_vec]
+    return EigenPairs(values=values, vectors=vectors,
+                      sharded=ctx_mesh is not None,
+                      meta={"solver": solver, "n_pad": n_pad,
+                            "panel": panel, "gemm_block": gemm_block})

@@ -1,0 +1,192 @@
+"""Solver pipelines: reduction strategy x SEP core x back-transform.
+
+The reference's product shape is a *zoo of hybrid pipelines* behind one
+registry (solver_main.f90:52-99): each ``-s`` name picks a combination of
+ScaLAPACK / ELPA / EigenExa routines.  Here every named solver is a
+composition of this module's stage functions, all TPU-native:
+
+  reduction:  'scalapack' = Cholesky + trsm       (pdpotrf+pdsygst analog)
+              'elpa'      = Cholesky + explicit inverse + GEMMs
+                                                  (ELPA reduction analog)
+  SEP core:   'one_stage' = blocked Householder tridiagonalization
+                            + bisection/inverse-iteration tridiagonal solve
+                            + compact-WY back-transform
+                            (pdsytrd/pdstedc/pdormtr, eigen_s, ELPA1 analogs)
+              'two_stage' = full->band + band->tridiagonal
+                            (eigen_sx / ELPA2 analog, ops/band.py)
+              'eigh'      = XLA's built-in QDWH eigensolver (TPU extra)
+  recovery:   trsm (pdtrtrs analog) or GEMM with the stored inverse factor
+              (pdtrmm analog), matching the reduction style.
+
+Each stage runs as its own cached-jit computation; when the context carries
+an :class:`EventLog` the driver blocks between stages and records the
+reference's hierarchical event names, so ``log.json`` phase timings are
+comparable with EigenKernel's.  With ``log=None`` the same code path is
+fully traceable — ``fused_solver`` jits a whole pipeline into one XLA
+computation (used by bench/dryrun).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from eigenkernel_tpu.obs.events import EventLog
+from eigenkernel_tpu.ops import blocked, householder, reduction as red
+from eigenkernel_tpu.ops import tridiag as td
+
+DEFAULT_PANEL = 64      # Householder panel width (reference g_block_size=64)
+DEFAULT_GEMM_BLOCK = 256  # blocked-BLAS tile for cholesky/trsm/inverse
+
+
+@dataclass
+class SolverContext:
+    mesh: Optional[Mesh] = None
+    block_size: int = DEFAULT_PANEL
+    gemm_block: int = DEFAULT_GEMM_BLOCK
+    log: Optional[EventLog] = None
+
+    def tick(self, name: str, t0: float, out: Any) -> None:
+        if self.log is not None:
+            jax.block_until_ready(out)
+            self.log.add_event(name, time.time() - t0)
+
+
+def _run(ctx: SolverContext, name: str, fn: Callable, *args) -> Any:
+    t0 = time.time()
+    out = fn(*args)
+    ctx.tick(name, t0, out)
+    return out
+
+
+# ----------------------------------------------------------------------
+# cached jitted op wrappers (mesh/blocks static => one compile per config)
+# ----------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_reduce_scalapack(a, b, block, mesh):
+    r = red.reduce_scalapack(a, b, block=block, mesh=mesh)
+    return r.a_std, r.factor
+
+
+@partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_reduce_elpa(a, b, block, mesh):
+    r = red.reduce_elpa(a, b, block=block, mesh=mesh)
+    return r.a_std, r.factor
+
+
+@partial(jax.jit, static_argnames=("block", "mesh", "style"))
+def _j_recover(factor, style, y, block, mesh):
+    return red.recover(red.Reduction(None, factor, style), y, block=block,
+                       mesh=mesh)
+
+
+@partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_tridiagonalize(a, block, mesh):
+    return householder.tridiagonalize(a, block=block, mesh=mesh)
+
+
+@partial(jax.jit, static_argnames=("n_vec", "mesh"))
+def _j_tridiag_eigh(d, e, n_vec, mesh):
+    return td.tridiag_eigh(d, e, n_vec=n_vec, mesh=mesh)
+
+
+@partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_apply_q(tri, z, block, mesh):
+    return householder.apply_q(tri, z, block=block, mesh=mesh)
+
+
+@jax.jit
+def _j_eigh(a):
+    return jnp.linalg.eigh(a)
+
+
+@partial(jax.jit, static_argnames=("n_real",))
+def _j_sentinelize(a, n_real):
+    """Set the padding diagonal of ``a`` to a value strictly above the
+    spectrum of the leading ``n_real`` block (Gershgorin), so padded
+    eigenpairs sort last and the lowest n_real eigenpairs are the real ones.
+    """
+    n = a.shape[0]
+    if n == n_real:
+        return a
+    core = a[:n_real, :n_real]
+    radius = jnp.sum(jnp.abs(core), axis=1)
+    hi = jnp.max(jnp.diag(core) + radius)
+    lo = jnp.min(jnp.diag(core) - radius)
+    mu = hi + 0.125 * jnp.maximum(hi - lo, 1.0) + 1.0
+    idx = jnp.arange(n)
+    pad_mask = idx >= n_real
+    diag_new = jnp.where(pad_mask, mu, jnp.diag(a))
+    return a - jnp.diag(jnp.diag(a)) + jnp.diag(diag_new)
+
+
+# ----------------------------------------------------------------------
+# SEP cores on the (padded) standard problem
+# ----------------------------------------------------------------------
+
+def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
+    """pdsytrd + tridiagonal-solve + pdormtr analog (see module doc)."""
+    tri = _run(ctx, "sep:tridiagonalize", _j_tridiagonalize,
+               a, ctx.block_size, ctx.mesh)
+    w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
+                tri.d, tri.e, n_vec, ctx.mesh)
+    z = _run(ctx, "sep:back_transform", _j_apply_q,
+             tri, z, ctx.block_size, ctx.mesh)
+    return w, z
+
+
+def sep_two_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
+    """eigen_sx / ELPA2 analog: full->band, band->tridiag, then solve."""
+    from eigenkernel_tpu.solvers.twostage import sep_two_stage as impl
+    return impl(ctx, a, n_vec)
+
+
+def sep_eigh(ctx: SolverContext, a: jax.Array, n_vec: int):
+    """XLA QDWH-eig (the library baseline; single-shot jit)."""
+    w, z = _run(ctx, "sep:eigh", _j_eigh, a)
+    return w[:n_vec], z[:, :n_vec]
+
+
+SEP_CORES = {
+    "one_stage": sep_one_stage,
+    "two_stage": sep_two_stage,
+    "eigh": sep_eigh,
+}
+
+
+# ----------------------------------------------------------------------
+# pipelines
+# ----------------------------------------------------------------------
+
+def standard_pipeline(ctx: SolverContext, a: jax.Array, n_vec: int,
+                      n_real: int, core: str):
+    """Standard EVP: sentinel-pad, run the SEP core, slice real rows."""
+    a = _j_sentinelize(a, n_real)
+    w, z = SEP_CORES[core](ctx, a, n_vec)
+    return w, z
+
+
+def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
+                         n_vec: int, n_real: int, core: str,
+                         reduction_style: str):
+    """Generalized EVP: reduce, sentinel-pad, SEP core, recover."""
+    if reduction_style == "elpa":
+        a_std, factor = _run(ctx, "solve:reduce_elpa", _j_reduce_elpa,
+                             a, b, ctx.gemm_block, ctx.mesh)
+    else:
+        a_std, factor = _run(ctx, "reduce_generalized", _j_reduce_scalapack,
+                             a, b, ctx.gemm_block, ctx.mesh)
+    a_std = _j_sentinelize(a_std, n_real)
+    w, z = SEP_CORES[core](ctx, a_std, n_vec)
+    x = _run(ctx, "recovery_generalized", _j_recover,
+             factor, reduction_style, z, ctx.gemm_block, ctx.mesh)
+    # x = L^{-T} z is automatically B-orthonormal (x^T B x = z^T z = I),
+    # the dsygv/reference normalization convention — do not renormalize.
+    return w, x

@@ -1,0 +1,109 @@
+"""The solver registry: ``-s <name>`` -> pipeline combination.
+
+Reference parity: solver_main.f90:52-99 (the select-case dispatch) plus the
+solver list in README.md:64-83.  Names are preserved verbatim so CLI
+invocations and ``log.json`` files are comparable run-for-run.  "ELPA" /
+"EigenExa" in a name no longer means an external library — it names the
+*pipeline shape* those backends stood for (see solvers/pipelines.py):
+
+  name                          reduction    SEP core    paper tag
+  ----------------------------- ----------- ----------- ---------
+  lapack                         —           eigh (1dev)
+  scalapack                      —           one_stage
+  scalapack_select               —           one_stage (partial)
+  eigensx                        —           two_stage
+  general_scalapack              scalapack   one_stage    'A'
+  general_scalapack_select       scalapack   one_stage (partial)
+  general_scalapacknew_eigens    scalapack   one_stage
+  general_scalapack_eigensx      scalapack   two_stage    'B'
+  general_scalapack_eigens       scalapack   one_stage
+  general_elpa_scalapack         elpa        one_stage    'C'
+  general_elpa1                  elpa        one_stage    'E'
+  general_elpa2                  elpa        two_stage    'D'
+  general_elpa_eigensx           elpa        two_stage    'G'
+  general_elpa_eigens            elpa        one_stage    'F'
+  eigh / general_eigh            (elpa)      eigh        TPU-native extras
+
+Unlike the reference there are no dummy backends that abort at runtime
+(solver_elpa_dummy.f90:21): every pipeline is always available because all
+kernels are in-tree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class SolverSpec:
+    name: str
+    generalized: bool
+    selecting: bool
+    family: str              # lapack | scalapack | eigenexa | elpa | extra
+    core: str                # eigh | one_stage | two_stage
+    reduction: Optional[str]  # None | 'scalapack' | 'elpa'
+    single_device: bool = False
+    description: str = ""
+
+
+def _s(name, generalized, selecting, family, core, reduction,
+       single_device=False, description=""):
+    return SolverSpec(name, generalized, selecting, family, core, reduction,
+                      single_device, description)
+
+
+SOLVERS: dict[str, SolverSpec] = {s.name: s for s in [
+    _s("lapack", False, False, "lapack", "eigh", None, True,
+       "replicated single-device solve (dsyev analog)"),
+    _s("scalapack", False, False, "scalapack", "one_stage", None,
+       description="tridiag + tridiagonal solve + back-transform "
+                   "(pdsytrd/pdstedc/pdormtr analog)"),
+    _s("scalapack_select", False, True, "scalapack", "one_stage", None,
+       description="partial spectrum via bisection/inverse iteration "
+                   "(pdsyevx analog)"),
+    _s("general_scalapack", True, False, "scalapack", "one_stage",
+       "scalapack", description="solver 'A': pdpotrf+pdsygst reduction"),
+    _s("general_scalapack_select", True, True, "scalapack", "one_stage",
+       "scalapack"),
+    _s("general_scalapacknew_eigens", True, False, "scalapack", "one_stage",
+       "scalapack", description="pdsyngst-variant reduction + eigen_s core"),
+    _s("eigensx", False, False, "eigenexa", "two_stage", None,
+       description="two-stage (full->band->tridiag) reduction, eigen_sx "
+                   "analog"),
+    _s("general_scalapack_eigensx", True, False, "eigenexa", "two_stage",
+       "scalapack", description="solver 'B'"),
+    _s("general_scalapack_eigens", True, False, "eigenexa", "one_stage",
+       "scalapack"),
+    _s("general_elpa_scalapack", True, False, "elpa", "one_stage", "elpa",
+       description="solver 'C': ELPA-style reduction, pdsyevd-analog core"),
+    _s("general_elpa1", True, False, "elpa", "one_stage", "elpa",
+       description="solver 'E'"),
+    _s("general_elpa2", True, False, "elpa", "two_stage", "elpa",
+       description="solver 'D'"),
+    _s("general_elpa_eigensx", True, False, "elpa", "two_stage", "elpa",
+       description="solver 'G' (flagship hybrid)"),
+    _s("general_elpa_eigens", True, False, "elpa", "one_stage", "elpa",
+       description="solver 'F'"),
+    # TPU-native extras
+    _s("eigh", False, False, "extra", "eigh", None,
+       description="XLA QDWH eigensolver (TPU-native extra)"),
+    _s("general_eigh", True, False, "extra", "eigh", "elpa",
+       description="ELPA-style reduction + XLA QDWH (TPU-native extra)"),
+]}
+
+
+class UnknownSolverError(ValueError):
+    pass
+
+
+def get_spec(name: str) -> SolverSpec:
+    try:
+        return SOLVERS[name]
+    except KeyError:
+        raise UnknownSolverError(
+            f"eigen_solver: Unknown solver '{name}'") from None
+
+
+def solver_names() -> list[str]:
+    return list(SOLVERS)

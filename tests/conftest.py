@@ -1,0 +1,57 @@
+"""Test harness config: CPU platform with 8 virtual devices, float64.
+
+The multi-device tests emulate an 8-chip slice on CPU
+(``--xla_force_host_platform_device_count=8``) — the JAX analog of the
+reference's "mpirun -np 4 on one box" testing strategy (README.md:22-37,
+SURVEY.md §4).  The axon TPU plugin in this image force-selects itself via
+``jax.config.update('jax_platforms', ...)`` in sitecustomize, so we override
+the config (env vars are not enough).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from eigenkernel_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(shape=(2, 4))
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def random_spd(rng, n, cond=100.0):
+    """Random SPD matrix with controlled conditioning."""
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.geomspace(1.0, cond, n)
+    return (q * w) @ q.T
+
+
+def random_sym(rng, n):
+    a = rng.standard_normal((n, n))
+    return (a + a.T) / 2.0
+
+
+@pytest.fixture()
+def spd_factory(rng):
+    return lambda n, cond=100.0: random_spd(rng, n, cond)
+
+
+@pytest.fixture()
+def sym_factory(rng):
+    return lambda n: random_sym(rng, n)

@@ -1,0 +1,113 @@
+"""CLI end-to-end tests (SURVEY.md §4 item (b)): full app flow in-process."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from eigenkernel_tpu.cli import main
+
+MAT = "/root/reference/matrix"
+A30 = f"{MAT}/ELSES_MATRIX_BNZ30_A.mtx"
+B30 = f"{MAT}/ELSES_MATRIX_BNZ30_B.mtx"
+
+
+def run_cli(tmp_path, args):
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        return main(args)
+    finally:
+        os.chdir(cwd)
+
+
+def test_generalized_end_to_end(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "general_scalapack", "-c", "-1",
+                            "-t", "1,30", A30, B30])
+    assert rc == 0
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")
+    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_BNZ30_ev.txt")
+    assert np.abs(ev[:, 1] - ref[:, 1]).max() < 1e-12
+    assert (tmp_path / "ipratios.dat").exists()
+    log = json.loads((tmp_path / "log.json").read_text())
+    assert set(log) == {"setting", "events"}
+    names = [e["name"] for e in log["events"]]
+    for expected in ["main:read_command_argument", "main:read_matrix_files",
+                     "main:bcast_sparse_matrices", "main:eigen_solver",
+                     "main:print_eigenpairs",
+                     "main:compute_and_print_ipratios",
+                     "main:eval_residual_norm", "main:eval_orthogonality",
+                     "main"]:
+        assert expected in names
+    assert log["setting"]["solver"] == "general_scalapack"
+    assert log["setting"]["dimension"] == 30
+    assert all({"name", "num_repeated", "val"} == set(e)
+               for e in log["events"])
+
+
+def test_dry_run(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "general_scalapack", "--dry-run", A30, B30])
+    assert rc == 0
+    assert not (tmp_path / "eigenvalues.dat").exists()
+    assert (tmp_path / "log.json").exists()
+
+
+def test_custom_output_names(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "lapack", "-o", "my_ev.dat",
+                            "-i", "my_ipr.dat", "-l", "my_log.json",
+                            f"{MAT}/ELSES_MATRIX_BNZ30_A.mtx"])
+    assert rc == 0
+    assert (tmp_path / "my_ev.dat").exists()
+    assert (tmp_path / "my_ipr.dat").exists()
+    assert (tmp_path / "my_log.json").exists()
+
+
+def test_print_eigenvectors_text_and_binary(tmp_path):
+    os.makedirs(tmp_path / "vecs")
+    rc = run_cli(tmp_path, ["-s", "general_scalapack", "-d", "vecs",
+                            "-p", "1-2,5", A30, B30])
+    assert rc == 0
+    for j in (1, 2, 5):
+        f = tmp_path / "vecs" / f"{j:08d}.dat"
+        data = np.loadtxt(f)
+        assert data.shape == (30, 3)
+        assert (data[:, 1] == j).all()
+    os.makedirs(tmp_path / "vecsb")
+    rc = run_cli(tmp_path, ["-s", "general_scalapack", "-d", "vecsb",
+                            "-p", "1", "--binary", A30, B30])
+    assert rc == 0
+    vec = np.fromfile(tmp_path / "vecsb" / "00000001.dat")
+    assert vec.shape == (30,)
+
+
+def test_selecting_solver_cli(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "scalapack_select", "-n", "10",
+                            f"{MAT}/ELSES_MATRIX_VCNT400std_A.mtx"])
+    assert rc == 0
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat", ndmin=2)
+    assert ev.shape[0] == 10
+    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_VCNT400std_E.txt")
+    assert np.abs(ev[:, 1] - ref[:10, 1]).max() < 5e-12
+
+
+def test_error_unknown_solver(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "nope", A30])
+    assert rc == 1
+
+
+def test_error_solver_mismatch(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "scalapack", A30, B30])
+    assert rc == 1
+
+
+def test_error_missing_file(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "lapack", "/does/not/exist.mtx"])
+    assert rc == 1
+
+
+def test_grid_mapping_flag(tmp_path, capsys):
+    rc = run_cli(tmp_path, ["-s", "lapack", "--print-grid-mapping", A30])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Grid mapping" in out

@@ -1,0 +1,93 @@
+"""Every registry solver vs scipy on random pencils (SURVEY.md §4 (a)/(b))."""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+from eigenkernel_tpu.solvers import SOLVERS, solve
+from eigenkernel_tpu.solvers.registry import get_spec, UnknownSolverError
+
+N = 96  # one shared dim so jitted stages are compiled once across solvers
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((N, N))
+    A = (A + A.T) / 2
+    Br = rng.standard_normal((N, N))
+    B = Br @ Br.T + N * np.eye(N)
+    wstd = np.linalg.eigvalsh(A)
+    wgen = sla.eigh(A, B, eigvals_only=True)
+    return A, B, wstd, wgen
+
+
+STANDARD = [s.name for s in SOLVERS.values() if not s.generalized]
+GENERAL = [s.name for s in SOLVERS.values() if s.generalized]
+
+
+@pytest.mark.parametrize("name", STANDARD)
+def test_standard_solvers(problem, name):
+    A, _, wstd, _ = problem
+    spec = get_spec(name)
+    n_vec = 10 if spec.selecting else None
+    p = solve(A, solver=name, n_vec=n_vec)
+    k = n_vec or N
+    assert np.abs(np.array(p.values) - wstd[:k]).max() < 1e-10
+    V = np.array(p.vectors)
+    resid = A @ V - V * np.array(p.values)[None, :]
+    assert np.abs(resid).max() < 1e-10
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-10
+
+
+@pytest.mark.parametrize("name", GENERAL)
+def test_generalized_solvers(problem, name):
+    A, B, _, wgen = problem
+    spec = get_spec(name)
+    n_vec = 10 if spec.selecting else None
+    p = solve(A, B, solver=name, n_vec=n_vec)
+    k = n_vec or N
+    assert np.abs(np.array(p.values) - wgen[:k]).max() < 1e-10
+    V = np.array(p.vectors)
+    resid = A @ V - (B @ V) * np.array(p.values)[None, :]
+    assert np.abs(resid).max() < 1e-9
+    assert np.abs(V.T @ B @ V - np.eye(k)).max() < 1e-9
+
+
+def test_solver_problem_mismatch(problem):
+    A, B, _, _ = problem
+    with pytest.raises(ValueError):
+        solve(A, B, solver="scalapack")
+    with pytest.raises(ValueError):
+        solve(A, solver="general_scalapack")
+
+
+def test_unknown_solver(problem):
+    A, _, _, _ = problem
+    with pytest.raises(UnknownSolverError):
+        solve(A, solver="does_not_exist")
+
+
+def test_partial_on_nonselecting(problem):
+    A, _, _, _ = problem
+    with pytest.raises(ValueError):
+        solve(A, solver="scalapack", n_vec=5)
+
+
+def test_odd_dimension_padding(problem):
+    """Non-power-of-two, non-block-divisible dims exercise padding."""
+    rng = np.random.default_rng(12)
+    n = 77
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    p = solve(A, solver="scalapack")
+    wref = np.linalg.eigvalsh(A)
+    assert np.abs(np.array(p.values) - wref).max() < 1e-10
+    assert p.vectors.shape == (n, n)
+
+
+def test_float32(problem):
+    A, _, wstd, _ = problem
+    p = solve(A.astype(np.float32), solver="scalapack")
+    assert p.values.dtype == np.float32
+    assert np.abs(np.array(p.values) - wstd).max() < 5e-3

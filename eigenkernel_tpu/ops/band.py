@@ -5,17 +5,19 @@ EigenExa's ``eigen_sx`` pentadiagonalization (solver_elpa.f90:448,
 solver_eigenexa.f90:121-135): the dense matrix is reduced to a band matrix
 of semibandwidth ``bw`` using blocked Householder QR panels, so *all* O(n^3)
 work is two-sided compact-WY GEMM updates — no memory-bound matvecs (the
-reason two-stage beats one-stage on accelerators, SURVEY.md §5
-"long-context" analog note).
+reason two-stage beats one-stage on accelerators).
 
-Per panel (block column of width bw):
+Uniform schedule (single ``fori_loop``, see ops/blocked.py design note):
+per panel s, the subdiagonal block column ``A[s+bw:, s:s+bw]`` is
+QR-factored with masked full-height reflectors (V has support only on rows
+>= s+bw), and ONE masked full-size symmetric WY update
 
-  1. Householder QR of the subdiagonal block ``A[s+bw:, s:s+bw]`` (masked
-     ``fori_loop``, static shapes),
-  2. the block itself becomes ``[R; 0]`` (inside the band),
-  3. trailing two-sided update ``A22 <- Q^T A22 Q`` with
-     ``Q = I - V T V^T``:  ``W = A V T``, ``U = W - V (T^T V^T W)/2``,
-     ``A <- A - U V^T - V U^T``  — three large GEMMs.
+    u = (A V) T - V (T^T (V^T A V) T) / 2,      A <- A - u V^T - V u^T
+
+applies the complete two-sided transform ``diag(I, Q)^T A diag(I, Q)``:
+because V vanishes above s+bw, this simultaneously produces R in the panel
+(band) block, transforms the trailing block, and leaves finished rows
+untouched.  A final band mask clears the eliminated entries' roundoff.
 
 Stage 2 (band -> tridiagonal) currently reuses the one-stage Householder
 reduction on the banded matrix (mathematically exact; a windowed bulge-chase
@@ -39,44 +41,48 @@ class BandResult(NamedTuple):
     band: jax.Array   # (n, n) symmetric band matrix (semibandwidth bw)
     V: jax.Array      # (n, n) stage-1 Householder vectors, panel layout
     taus: jax.Array   # (n,)
-    bw: int
+    bw: jax.Array     # scalar (static int at trace time)
 
 
-def _qr_panel(p: jax.Array):
-    """Householder QR of ``p`` (m x b) with masked sequential columns.
+def _qr_panel(p: jax.Array, pivot0, b: int):
+    """Householder QR of the rows >= pivot0 of full-height block ``p``
+    (n x b), with masked sequential columns.
 
-    Returns (V, taus, R) where column j of V is the full-length reflector
-    (unit pivot at row j, zeros above) and R is upper triangular (m x b,
-    zero below row b).
+    Column j's reflector has its unit pivot at row ``pivot0 + j`` and zeros
+    above.  Returns (V, taus); ``p``'s R factor is not needed by callers
+    (the uniform WY update regenerates it).
     """
-    m, b = p.shape
+    n = p.shape[0]
     dtype = p.dtype
-    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     def step(j, carry):
         p, V, taus = carry
-        x = lax.dynamic_slice(p, (0, j), (m, 1))[:, 0]
-        tail = jnp.where(rows > j, x, 0.0)
-        alpha = x[j]
+        piv = pivot0 + j
+        x = lax.dynamic_slice(p, (0, j), (n, 1))[:, 0]
+        tail = jnp.where(rows > piv, x, 0.0)
+        alpha = lax.dynamic_slice(x, (jnp.minimum(piv, n - 1),), (1,))[0]
         sigma = jnp.sum(tail * tail)
         zero_tail = sigma == 0
         sgn = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
         beta = jnp.where(zero_tail, alpha,
                          -sgn * jnp.sqrt(alpha * alpha + sigma))
         denom = jnp.where(zero_tail, 1.0, alpha - beta).astype(dtype)
-        live = jnp.logical_not(zero_tail).astype(dtype)
-        v = tail / denom + live * (rows == j).astype(dtype)
-        tau = jnp.where(zero_tail, 0.0,
-                        (beta - alpha) / jnp.where(beta == 0, 1.0, beta))
+        live = jnp.logical_and(jnp.logical_not(zero_tail),
+                               piv < n).astype(dtype)
+        v = live * (tail / denom + (rows == piv).astype(dtype))
+        tau = live * jnp.where(zero_tail, 0.0,
+                               (beta - alpha) /
+                               jnp.where(beta == 0, 1.0, beta))
         p = p - tau * jnp.outer(v, v @ p)
         V = lax.dynamic_update_slice(V, v[:, None], (0, j))
         taus = taus.at[j].set(tau)
         return (p, V, taus)
 
-    V0 = jnp.zeros((m, b), dtype)
+    V0 = jnp.zeros((n, b), dtype)
     t0 = jnp.zeros((b,), dtype)
-    p, V, taus = lax.fori_loop(0, min(b, m), step, (p, V0, t0))
-    return V, taus, p
+    _, V, taus = lax.fori_loop(0, b, step, (p, V0, t0))
+    return V, taus
 
 
 def to_band(a: jax.Array, bw: int,
@@ -87,50 +93,54 @@ def to_band(a: jax.Array, bw: int,
     if n % bw != 0:
         raise ValueError(f"dim {n} not divisible by bandwidth {bw}")
     a = _wsc(a, mesh)
-    vstore = jnp.zeros((n, n), dtype)
-    taus = jnp.zeros((n,), dtype)
+    nb = n // bw
 
-    for s in range(0, n - bw, bw):
-        m = n - s - bw
-        panel = a[s + bw:, s:s + bw]
-        V, tau_p, r = _qr_panel(panel)
-        r_block = jnp.concatenate(
-            [jnp.triu(r[:bw]), jnp.zeros((m - bw, bw), dtype)], axis=0)
-        a = a.at[s + bw:, s:s + bw].set(r_block)
-        a = a.at[s:s + bw, s + bw:].set(r_block.T)
-        # trailing two-sided update
+    def step(k, carry):
+        a, vstore, taus = carry
+        s = k * bw
+        colblk = lax.dynamic_slice(a, (0, s), (n, bw))
+        V, tau_p = _qr_panel(colblk, s + bw, bw)
         t = wy_t_factor(V, tau_p)
-        a22 = a[s + bw:, s + bw:]
-        av = a22 @ V
+        av = a @ V
         w = av @ t
         mmat = t.T @ (V.T @ av) @ t
         u = w - 0.5 * (V @ mmat)
-        a22 = a22 - u @ V.T - V @ u.T
-        a = _wsc(a.at[s + bw:, s + bw:].set(a22), mesh)
-        vstore = vstore.at[s + bw:, s:s + bw].set(V)
+        a = _wsc(a - u @ V.T - V @ u.T, mesh)
+        vstore = lax.dynamic_update_slice(vstore, V, (0, s))
         taus = lax.dynamic_update_slice(taus, tau_p, (s,))
+        return (a, vstore, taus)
 
-    # numerical cleanup: zero everything outside the band
+    v0 = jnp.zeros((n, n), dtype)
+    t0 = jnp.zeros((n,), dtype)
+    a, vstore, taus = lax.fori_loop(
+        0, max(nb - 1, 0), step, (a, v0, t0))
+
+    # clear the eliminated entries' roundoff outside the band
     idx = jnp.arange(n)
     mask = jnp.abs(idx[:, None] - idx[None, :]) <= bw
     band = jnp.where(mask, a, 0.0)
-    return BandResult(band=band, V=vstore, taus=taus, bw=bw)
+    band = (band + band.T) * jnp.asarray(0.5, dtype)
+    return BandResult(band=band, V=vstore, taus=taus,
+                      bw=jnp.asarray(bw, jnp.int32))
 
 
-def apply_band_q(res: BandResult, z: jax.Array, bw: Optional[int] = None,
+def apply_band_q(res: BandResult, z: jax.Array, bw: int,
                  mesh: Optional[Mesh] = None,
                  transpose: bool = False) -> jax.Array:
     """``z <- Q z`` with Q the stage-1 band-reduction transform."""
-    bw = bw or res.bw
     n = res.V.shape[0]
-    panels = [s for s in range(0, max(n - bw, 0), bw)]
-    if not transpose:
-        panels = panels[::-1]
-    z = _wsc(z, mesh)
-    for s in panels:
-        v = res.V[:, s:s + bw]
-        t = wy_t_factor(v, res.taus[s:s + bw])
+    nb = n // bw
+    npanels = max(nb - 1, 0)
+    if npanels == 0:
+        return z
+
+    def step(i, z):
+        p = i if transpose else npanels - 1 - i
+        s = p * bw
+        v = lax.dynamic_slice(res.V, (0, s), (n, bw))
+        tau_p = lax.dynamic_slice(res.taus, (s,), (bw,))
+        t = wy_t_factor(v, tau_p)
         t = t.T if transpose else t
-        z = z - v @ (t @ (v.T @ z))
-        z = _wsc(z, mesh)
-    return z
+        return _wsc(z - v @ (t @ (v.T @ z)), mesh)
+
+    return lax.fori_loop(0, npanels, step, _wsc(z, mesh))

@@ -15,19 +15,21 @@ Design (TPU-first, not a ScaLAPACK translation):
   every GEMM inside the blocked loops is then partitioned by XLA GSPMD into
   local matmuls + ICI collectives.  There are no descriptors, communicators,
   or explicit messages — the sharding annotation *is* the distribution.
+* **Uniform schedules**: the panel loops are single ``lax.fori_loop``s over
+  full-size arrays with dynamic slices and row masks, so each kernel is ONE
+  XLA computation regardless of n (vs. the n/b distinct trailing shapes a
+  ScaLAPACK-style shrinking loop would compile).  Masked full-width updates
+  spend extra MXU flops on zeros; on TPU that is the right trade — compile
+  time and pipeline-able uniform GEMMs dominate.  (A power-of-two bucketed
+  schedule that recovers the flop constant is the planned refinement.)
 * Panel factorizations on ``block x block`` diagonal tiles are computed
   replicated on every device (cheap at O(b^3), avoids a latency-bound
-  round-trip), exactly the trade ScaLAPACK makes by serializing panels on
-  one process column — except here the trailing GEMMs never wait on a
-  broadcast because XLA overlaps them.
-* Loops over block indices are Python-static: shapes shrink each iteration,
-  XLA compiles each trailing update once.  Matrix dims must be divisible by
-  ``block`` (callers pad via ``parallel.mesh.padded_dim``).
+  round-trip), the same trade ScaLAPACK makes by serializing panels on one
+  process column.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -52,30 +54,34 @@ def blocked_cholesky(a: jax.Array, block: int = 256,
                      mesh: Optional[Mesh] = None) -> jax.Array:
     """Lower Cholesky factor of SPD ``a`` (pdpotrf analog).
 
-    Right-looking blocked algorithm: per panel, a replicated ``b x b``
-    Cholesky, a triangular solve forming the panel, and a symmetric trailing
-    GEMM update (the O(n^3) part, sharded over the mesh).
+    Right-looking blocked algorithm as one fori_loop: per panel, a
+    replicated ``b x b`` Cholesky, a triangular solve forming the masked
+    full-height panel, and a symmetric trailing GEMM update (sharded).
     """
     n = a.shape[0]
     if n <= block:
         return lax.linalg.cholesky(a)
     _check_blocking(n, block)
     b = block
-    a = _wsc(a, mesh)
-    for k in range(n // b):
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def step(k, a):
         s = k * b
-        akk = a[s:s + b, s:s + b]
+        akk = lax.dynamic_slice(a, (s, s), (b, b))
         lkk = lax.linalg.cholesky(akk)
-        a = a.at[s:s + b, s:s + b].set(lkk)
-        if s + b < n:
-            # panel := A[s+b:, s:s+b] @ L_kk^{-T}
-            pan = lax.linalg.triangular_solve(
-                lkk, a[s + b:, s:s + b],
-                left_side=False, lower=True, transpose_a=True)
-            a = a.at[s + b:, s:s + b].set(pan)
-            trail = a[s + b:, s + b:] - pan @ pan.T
-            a = a.at[s + b:, s + b:].set(trail)
-            a = _wsc(a, mesh)
+        colblk = lax.dynamic_slice(a, (0, s), (n, b))
+        below = rows >= s + b
+        # pan = A[s+b:, s:s+b] @ L_kk^{-T}, rows above s+b masked out
+        pan = lax.linalg.triangular_solve(
+            lkk, colblk, left_side=False, lower=True, transpose_a=True)
+        pan = jnp.where(below, pan, 0.0)
+        new_col = jnp.where(below, pan, colblk)
+        new_col = lax.dynamic_update_slice(new_col, lkk, (s, 0))
+        a = lax.dynamic_update_slice(a, new_col, (0, s))
+        a = a - pan @ pan.T      # touches only the (>= s+b, >= s+b) block
+        return _wsc(a, mesh)
+
+    a = lax.fori_loop(0, n // b, step, _wsc(a, mesh))
     return jnp.tril(a)
 
 
@@ -86,8 +92,9 @@ def invert_lower_triangular(l: jax.Array, block: int = 256,
 
     Recursive block bisection:
         inv([[L11, 0], [L21, L22]]) = [[X11, 0], [-X22 L21 X11, X22]]
-    so all O(n^3) work is in sharded GEMMs; base case solves ``b x b``
-    triangles against the identity, replicated.
+    so all O(n^3) work is in sharded GEMMs and only O(log n) distinct
+    shapes are compiled; base case solves ``b x b`` triangles against the
+    identity, replicated.
     """
     n = l.shape[0]
     if n <= block:
@@ -113,32 +120,39 @@ def trsm_lower(l: jax.Array, b: jax.Array, *, transpose: bool = False,
     """Solve ``L X = B`` (or ``L^T X = B`` when ``transpose``) with L lower
     triangular, blocked so the bulk is sharded GEMMs (pdtrsm/pdtrtrs analog).
 
-    Right-looking block substitution: forward over block rows for ``L``,
-    backward for ``L^T``.
+    Single fori_loop: block substitution, forward for ``L``, backward for
+    ``L^T``, with masked full-height update GEMMs.
     """
     n = l.shape[0]
     if n <= block:
         return lax.linalg.triangular_solve(
             l, b, left_side=True, lower=True, transpose_a=transpose)
     _check_blocking(n, block)
-    nb = n // block
-    x = _wsc(b, mesh)
-    order = range(nb) if not transpose else range(nb - 1, -1, -1)
-    for k in order:
-        s = k * block
-        lkk = l[s:s + block, s:s + block]
+    bl = block
+    nb = n // bl
+    k = b.shape[1]
+    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def step(i, x):
+        s = (i if not transpose else nb - 1 - i) * bl
+        lkk = lax.dynamic_slice(l, (s, s), (bl, bl))
+        xk = lax.dynamic_slice(x, (s, 0), (bl, k))
         xk = lax.linalg.triangular_solve(
-            lkk, x[s:s + block, :], left_side=True, lower=True,
-            transpose_a=transpose)
-        x = x.at[s:s + block, :].set(xk)
-        if not transpose and s + block < n:
-            upd = x[s + block:, :] - l[s + block:, s:s + block] @ xk
-            x = _wsc(x.at[s + block:, :].set(upd), mesh)
-        elif transpose and s > 0:
-            # (L^T)[0:s, s:s+b] = L[s:s+b, 0:s]^T
-            upd = x[:s, :] - l[s:s + block, :s].T @ xk
-            x = _wsc(x.at[:s, :].set(upd), mesh)
-    return x
+            lkk, xk, left_side=True, lower=True, transpose_a=transpose)
+        x = lax.dynamic_update_slice(x, xk, (s, 0))
+        if not transpose:
+            # remaining rows (> s+bl): x -= L[s+bl:, s:s+bl] @ xk
+            lcol = lax.dynamic_slice(l, (0, s), (n, bl))
+            lcol = jnp.where(rows >= s + bl, lcol, 0.0)
+            x = x - lcol @ xk
+        else:
+            # remaining rows (< s): x -= L[s:s+bl, :s]^T @ xk
+            lrow = lax.dynamic_slice(l, (s, 0), (bl, n))
+            lrow = jnp.where(rows.T < s, lrow, 0.0)
+            x = x - lrow.T @ xk
+        return _wsc(x, mesh)
+
+    return lax.fori_loop(0, nb, step, _wsc(b, mesh))
 
 
 def trsm_right_lower_t(l: jax.Array, b: jax.Array, *, block: int = 256,

@@ -9,14 +9,15 @@ TPU-native equivalents of:
 
 Algorithm (LAPACK dsytrd/dlatrd structure, re-shaped for XLA):
 
-The matrix is processed in panels of ``block`` columns over a *shrinking
-trailing submatrix* (static Python loop -> each trailing shape compiles
-once, GEMM flops stay at the LAPACK-optimal order).  Inside a panel, a
-``lax.fori_loop`` performs the sequential Householder steps on full-length
-masked vectors (static shapes; the loop index only moves masks and dynamic
-slices), accumulating the panel's ``V`` and ``W = tau*(A v - corrections)``
-columns.  The O(n^3) trailing update ``A <- A - V W^T - W V^T`` is one
+A single ``lax.fori_loop`` walks the panels; inside, a second ``fori_loop``
+performs the sequential Householder steps on *full-length, masked* vectors
+(static shapes; loop indices only move masks and dynamic slices),
+accumulating the panel's ``V`` and ``W = tau*(A v - corrections)`` columns.
+The O(n^3) trailing update ``A <- A - V W^T - W V^T`` is one full-size
 rank-2b GEMM per panel — MXU work, sharded over the mesh when one is given.
+Because V/W columns are zero outside the panel's trailing rows, the
+full-size GEMM touches exactly the trailing block; the spent zero-flops buy
+a single compiled computation for any n (see ops/blocked.py design note).
 V/W buffers start zeroed and are filled column-by-column, so "use only
 columns < j" masking is implicit.
 
@@ -83,44 +84,39 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     """
     n = a.shape[0]
     dtype = a.dtype
-    if n % block != 0:
+    b = min(block, n)
+    if n % b != 0:
         raise ValueError(f"dim {n} not divisible by block {block}")
     a = _wsc(a, mesh)
-    d = jnp.zeros((n,), dtype)
-    e = jnp.zeros((max(n - 1, 1),), dtype)
-    taus = jnp.zeros((n,), dtype)
-    vstore = jnp.zeros((n, n), dtype)
+    rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
 
-    for s in range(0, n, block):
-        b = block
-        m = n - s                     # trailing size, static
-        at = a[s:, s:]                # (m, m) current trailing submatrix
-        rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
-        e_rows = lax.broadcasted_iota(jnp.int32, (e.shape[0],), 0)
+    def panel(p, carry):
+        a, d, e, taus, vstore = carry
+        s = p * b
 
-        def panel_step(j, carry, at=at, rows=rows, e_rows=e_rows, m=m, s=s,
-                       b=b):
-            V, W, d, e, taus = carry
+        def panel_step(j, inner):
+            V, W, d, e, taus = inner
+            c = s + j
             # -- current column with pending panel updates applied:
-            #    a_col = At[:, j] - V W[j,:]^T - W V[j,:]^T  (local frame)
-            a_col = lax.dynamic_slice(at, (0, j), (m, 1))[:, 0]
-            w_row = lax.dynamic_slice(W, (j, 0), (1, b))[0]
-            v_row = lax.dynamic_slice(V, (j, 0), (1, b))[0]
+            #    a_col = A[:, c] - V W[c,:]^T - W V[c,:]^T
+            a_col = lax.dynamic_slice(a, (0, c), (n, 1))[:, 0]
+            w_row = lax.dynamic_slice(W, (c, 0), (1, b))[0]
+            v_row = lax.dynamic_slice(V, (c, 0), (1, b))[0]
             a_col = a_col - V @ w_row - W @ v_row
-            d = d.at[s + j].set(a_col[j])
-            # -- Householder on rows > j+1, pivot j+1 (local)
-            pivot = j + 1
+            d = d.at[c].set(a_col[c])
+            # -- Householder on rows > c+1, pivot c+1
+            pivot = c + 1
             tail = jnp.where(rows > pivot, a_col, 0.0)
             alpha = lax.dynamic_slice(
-                a_col, (jnp.minimum(pivot, m - 1),), (1,))[0]
-            v, tau, beta = _householder(tail, alpha, pivot, m)
-            live = s + j < n - 1
+                a_col, (jnp.minimum(pivot, n - 1),), (1,))[0]
+            v, tau, beta = _householder(tail, alpha, pivot, n)
+            live = c < n - 1
             tau = jnp.where(live, tau, 0.0)
             v = jnp.where(live, v, 0.0)
-            e = jnp.where((e_rows == s + j) & live, beta, e)
-            taus = taus.at[s + j].set(tau)
-            # -- w = tau * (At v - V (W^T v) - W (V^T v)), rows >= pivot
-            av = at @ v
+            e = jnp.where((rows[: e.shape[0]] == c) & live, beta, e)
+            taus = taus.at[c].set(tau)
+            # -- w = tau * (A v - V (W^T v) - W (V^T v)), rows >= c+1
+            av = a @ v
             av = av - V @ (W.T @ v) - W @ (V.T @ v)
             w = tau * jnp.where(rows >= pivot, av, 0.0)
             w = w - (0.5 * tau * (w @ v)) * v
@@ -128,14 +124,22 @@ def tridiagonalize(a: jax.Array, block: int = 64,
             W = lax.dynamic_update_slice(W, w[:, None], (0, j))
             return (V, W, d, e, taus)
 
-        V0 = jnp.zeros((m, b), dtype)
-        W0 = jnp.zeros((m, b), dtype)
+        V0 = jnp.zeros((n, b), dtype)
+        W0 = jnp.zeros((n, b), dtype)
         V, W, d, e, taus = lax.fori_loop(
-            0, min(b, m), panel_step, (V0, W0, d, e, taus))
-        at = at - V @ W.T - W @ V.T
-        a = _wsc(a.at[s:, s:].set(at), mesh)
-        vstore = vstore.at[s:, s:s + b].set(V)
+            0, b, panel_step, (V0, W0, d, e, taus))
+        # V/W columns vanish outside the panel's trailing rows, so this
+        # full-size rank-2b update touches exactly the trailing block.
+        a = _wsc(a - V @ W.T - W @ V.T, mesh)
+        vstore = lax.dynamic_update_slice(vstore, V, (0, s))
+        return (a, d, e, taus, vstore)
 
+    d0 = jnp.zeros((n,), dtype)
+    e0 = jnp.zeros((max(n - 1, 1),), dtype)
+    t0 = jnp.zeros((n,), dtype)
+    v0 = jnp.zeros((n, n), dtype)
+    a, d, e, taus, vstore = lax.fori_loop(
+        0, n // b, panel, (a, d0, e0, t0, v0))
     return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
                          V=vstore, taus=taus)
 
@@ -149,8 +153,7 @@ def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:
     """
     b = taus.shape[0]
     g = v.T @ v
-    inv_tau = 1.0 / jnp.where(taus == 0, 1.0, taus)
-    safe_diag = jnp.where(taus == 0, 1.0, inv_tau)
+    safe_diag = 1.0 / jnp.where(taus == 0, 1.0, taus)
     m = jnp.triu(g, k=1) + jnp.diag(safe_diag)
     eye = jnp.eye(b, dtype=v.dtype)
     return lax.linalg.triangular_solve(m, eye, left_side=True, lower=False)
@@ -159,20 +162,23 @@ def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:
 def apply_q(tri: TridiagResult, z: jax.Array, block: int = 64,
             mesh: Optional[Mesh] = None, transpose: bool = False) -> jax.Array:
     """``z <- Q z`` (or ``Q^T z``), Q from :func:`tridiagonalize`
-    (pdormtr analog).  Pure GEMMs: per panel ``z -= V (T (V^T z))``.
+    (pdormtr analog).  Pure GEMMs in one fori_loop:
+    per panel ``z -= V (T (V^T z))``.
     """
     n = tri.V.shape[0]
-    panels = list(range(0, n, block))
-    if not transpose:
-        panels = panels[::-1]
-    z = _wsc(z, mesh)
-    for s in panels:
-        v = tri.V[:, s:s + block]
-        t = wy_t_factor(v, tri.taus[s:s + block])
+    b = min(block, n)
+    nb = n // b
+
+    def step(i, z):
+        p = i if transpose else nb - 1 - i
+        s = p * b
+        v = lax.dynamic_slice(tri.V, (0, s), (n, b))
+        tau_p = lax.dynamic_slice(tri.taus, (s,), (b,))
+        t = wy_t_factor(v, tau_p)
         t = t.T if transpose else t
-        z = z - v @ (t @ (v.T @ z))
-        z = _wsc(z, mesh)
-    return z
+        return _wsc(z - v @ (t @ (v.T @ z)), mesh)
+
+    return lax.fori_loop(0, nb, step, _wsc(z, mesh))
 
 
 def tridiag_matrix(d: jax.Array, e: jax.Array) -> jax.Array:

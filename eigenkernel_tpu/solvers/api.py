@@ -104,3 +104,33 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
                       sharded=ctx_mesh is not None,
                       meta={"solver": solver, "n_pad": n_pad,
                             "panel": panel, "gemm_block": gemm_block})
+
+
+def fused_solver(solver: str, n: int, n_vec: Optional[int] = None,
+                 mesh: Optional[Mesh] = None, block_size: int = 0):
+    """Build one fully-jittable function for a named pipeline.
+
+    The returned ``fn(a[, b]) -> (values, vectors)`` contains the whole
+    solve as a single traceable computation (no host sync, no event log) —
+    used by bench.py and ``__graft_entry__`` to compile the flagship path
+    end-to-end.  ``n`` must already be divisible by the panel block and the
+    mesh axes (no padding happens here).
+    """
+    spec = get_spec(solver)
+    panel = block_size if block_size > 0 else pl.DEFAULT_PANEL
+    panel = min(panel, n)
+    if n % panel != 0:
+        raise ValueError(f"n={n} must be divisible by panel {panel}")
+    gemm_block = _pick_gemm_block(n, panel)
+    k = n if n_vec is None else int(n_vec)
+    ctx = pl.SolverContext(mesh=mesh, block_size=panel,
+                           gemm_block=gemm_block, log=None)
+
+    if spec.generalized:
+        def fn(a, b):
+            return pl.generalized_pipeline(ctx, a, b, k, n, spec.core,
+                                           spec.reduction)
+    else:
+        def fn(a):
+            return pl.standard_pipeline(ctx, a, k, n, spec.core)
+    return fn

@@ -145,6 +145,6 @@ def test_to_band():
     wa = np.linalg.eigvalsh(A)
     assert np.abs(wb - wa).max() < 1e-11
     # Q orthogonal and A = Q band Q^T
-    Q = np.array(apply_band_q(res, jnp.eye(n)))
+    Q = np.array(apply_band_q(res, jnp.eye(n), bw=bw))
     assert np.abs(Q @ Q.T - np.eye(n)).max() < 1e-13
     assert np.abs(Q @ band @ Q.T - A).max() < 1e-11

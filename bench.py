@@ -1,0 +1,118 @@
+"""Benchmark driver: one JSON line for the round harness.
+
+Measures time-to-solution of the standard symmetric EVP at M=EK_BENCH_N
+(default 4096) on the local chip with our one-stage pipeline (fused jit),
+against XLA's built-in QDWH ``jnp.linalg.eigh`` on the same matrix/precision
+as the baseline — the strongest existing TPU eigensolver available to a
+user today (the reference itself publishes no numbers, BASELINE.md).
+
+vs_baseline = t_eigh / t_ours  (>1 means we beat XLA's eigh).
+
+Timing notes: on the tunneled TPU in this environment ``block_until_ready``
+does not actually synchronize, so every timed region ends with a dependent
+scalar fetch.  The residual/orthogonality are computed on device and
+reported to stderr for the judge.
+
+Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64), EK_BENCH_SOLVER,
+EK_BENCH_BLOCK.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sync_scalar(x) -> float:
+    """Relay-safe device sync: fetch a dependent scalar."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def main() -> None:
+    n = int(os.environ.get("EK_BENCH_N", "4096"))
+    dtype_name = os.environ.get("EK_BENCH_DTYPE", "float32")
+    solver = os.environ.get("EK_BENCH_SOLVER", "scalapack")
+    block = int(os.environ.get("EK_BENCH_BLOCK", "128"))
+
+    import jax
+
+    cache_dir = os.environ.get("EK_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from eigenkernel_tpu.solvers.api import fused_solver
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((n, n))
+    a = ((a + a.T) / 2).astype(dtype_name)
+    ad = jnp.asarray(a)
+
+    fn = jax.jit(fused_solver(solver, n=n, block_size=block))
+
+    @jax.jit
+    def quality(w, v, ad):
+        with jax.default_matmul_precision("highest"):
+            r = ad @ v - v * w[None, :]
+            return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
+                    jnp.max(jnp.abs(v.T @ v - jnp.eye(n, dtype=v.dtype))))
+
+    # --- ours
+    t0 = time.time()
+    w, v = fn(ad)
+    _sync_scalar(w)
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        w, v = fn(ad)
+        _sync_scalar(w + v[0, :])
+        times.append(time.time() - t0)
+    t_ours = min(times)
+    resid, orth = quality(w, v, ad)
+    resid, orth = _sync_scalar(resid), _sync_scalar(orth)
+
+    # --- baseline: XLA QDWH eigh
+    eigh = jax.jit(jnp.linalg.eigh)
+    t0 = time.time()
+    w2, v2 = eigh(ad)
+    _sync_scalar(w2)
+    compile_eigh_s = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        w2, v2 = eigh(ad)
+        _sync_scalar(w2 + v2[0, :])
+        times.append(time.time() - t0)
+    t_eigh = min(times)
+    ev_gap = _sync_scalar(jnp.max(jnp.abs(w - w2)))
+
+    print(f"# n={n} dtype={dtype_name} solver={solver} "
+          f"ours={t_ours:.4f}s (compile {compile_s:.1f}s) "
+          f"eigh={t_eigh:.4f}s (compile {compile_eigh_s:.1f}s) "
+          f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={ev_gap:.2e}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"sym_evp_m{n}_{dtype_name}_time_to_solution",
+        "value": round(t_ours, 5),
+        "unit": "s",
+        "vs_baseline": round(t_eigh / t_ours, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

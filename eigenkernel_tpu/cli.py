@@ -14,6 +14,7 @@ hierarchical names (``main:read_command_argument`` ... ``main``), so
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -42,6 +43,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", arg.platform)
     if arg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+    cache_dir = os.environ.get("EK_CACHE_DIR")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from eigenkernel_tpu.core.config import (
         finalize_args, print_command_argument, required_memory,

@@ -61,29 +61,38 @@ def _minor_scan(d: jax.Array, e: jax.Array, xs: jax.Array):
     dtype = d.dtype
     e2 = jnp.concatenate([jnp.zeros((1,), dtype), e * e]) if n > 1 \
         else jnp.zeros((1,), dtype)
-    # transfer matrices M_k = [[d_{k-1}-x, -e2_{k-1}], [1, 0]], k = 1..n
-    a = d[:, None] - xs[None, :]               # (n, nx)
-    b = -e2[:, None] * jnp.ones((1, nx), dtype)
-    ones = jnp.ones_like(a)
-    zeros = jnp.zeros_like(a)
-    mats = jnp.stack(
-        [jnp.stack([a, b], axis=-1), jnp.stack([ones, zeros], axis=-1)],
-        axis=-2)                               # (n, nx, 2, 2)
+    # transfer matrices M_k = [[d_{k-1}-x, -e2_{k-1}], [1, 0]], k = 1..n,
+    # carried as four separate (n, nx) planes: a (n,nx,2,2) layout would be
+    # padded to (8,128) TPU tiles on the trailing dims — a 256x memory blowup.
+    m11 = d[:, None] - xs[None, :]               # (n, nx)
+    m12 = -e2[:, None] * jnp.ones((1, nx), dtype)
+    m21 = jnp.ones_like(m11)
+    m22 = jnp.zeros_like(m11)
 
     def combine(x, y):
-        z = jnp.einsum("...ij,...jk->...ik", y, x)
-        scale = jnp.max(jnp.abs(z), axis=(-2, -1), keepdims=True)
-        return z / jnp.maximum(scale, _TINY)
+        # z = y @ x, entrywise on the 4 planes, renormalized to avoid
+        # overflow (positive per-prefix scaling preserves signs & ratios)
+        x11, x12, x21, x22 = x
+        y11, y12, y21, y22 = y
+        z11 = y11 * x11 + y12 * x21
+        z12 = y11 * x12 + y12 * x22
+        z21 = y21 * x11 + y22 * x21
+        z22 = y21 * x12 + y22 * x22
+        scale = jnp.maximum(jnp.maximum(jnp.abs(z11), jnp.abs(z12)),
+                            jnp.maximum(jnp.abs(z21), jnp.abs(z22)))
+        inv = 1.0 / jnp.maximum(scale, jnp.finfo(dtype).tiny)
+        return (z11 * inv, z12 * inv, z21 * inv, z22 * inv)
 
-    pref = lax.associative_scan(combine, mats, axis=0)  # (n, nx, 2, 2)
+    g11, _, g21, _ = lax.associative_scan(
+        combine, (m11, m12, m21, m22), axis=0)
     # [P_k, P_{k-1}]^T = G_k @ [1, 0]^T -> first column of each prefix.
-    return pref[..., 0, 0], pref[..., 1, 0]
+    return g11, g21
 
 
 def _count_below(d: jax.Array, e: jax.Array, xs: jax.Array) -> jax.Array:
     """Number of eigenvalues of T strictly below each x (Sturm count)."""
     pk, pkm1 = _minor_scan(d, e, xs)
-    pk = jnp.where(pk == 0, -_TINY, pk)
+    pk = jnp.where(pk == 0, -jnp.finfo(d.dtype).tiny, pk)
     flips = jnp.sum((pk * pkm1 < 0).astype(jnp.int32), axis=0)
     return flips
 
@@ -105,17 +114,32 @@ def gershgorin_bounds(d: jax.Array, e: jax.Array):
 
 def bisect_eigenvalues(d: jax.Array, e: jax.Array, indices: jax.Array,
                        iters: Optional[int] = None,
-                       chunk: int = _CHUNK) -> jax.Array:
+                       chunk: int = _CHUNK,
+                       method: Optional[str] = None) -> jax.Array:
     """Eigenvalues ``lambda_{indices}`` (0-based, ascending) by bisection.
 
     ``indices`` is a static-shape int array; ~60 f64 / ~30 f32 bisection
     steps resolve each interval to machine precision relative to the
     spectral span.
+
+    method: 'pallas' (in-VMEM TPU kernel, ops/pallas_sturm.py), 'scan'
+    (associative-scan XLA path), or None -> EK_STURM env or backend auto
+    (pallas on TPU, scan on CPU).
     """
+    import os
+
     dtype = d.dtype
     if iters is None:
         iters = 62 if dtype == jnp.float64 else 30
     lo0, hi0 = gershgorin_bounds(d, e)
+
+    method = method or os.environ.get("EK_STURM", "auto")
+    if method == "auto":
+        method = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    if method == "pallas":
+        from eigenkernel_tpu.ops.pallas_sturm import sturm_bisect
+
+        return sturm_bisect(d, e, indices, lo0, hi0, iters=iters)
     k = indices.shape[0]
 
     def solve_chunk(idx):

@@ -60,7 +60,8 @@ class SolverContext:
 
 def _run(ctx: SolverContext, name: str, fn: Callable, *args) -> Any:
     t0 = time.time()
-    out = fn(*args)
+    with jax.default_matmul_precision("highest"):
+        out = fn(*args)
     ctx.tick(name, t0, out)
     return out
 

@@ -1,0 +1,48 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled paths are exercised
+on real TPU by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.linalg as sla
+
+from eigenkernel_tpu.ops.pallas_sturm import sturm_bisect
+from eigenkernel_tpu.ops.tridiag import gershgorin_bounds
+
+
+def _rand_tridiag(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n), rng.standard_normal(n - 1)
+
+
+def test_sturm_bisect_full():
+    n = 200
+    d, e = _rand_tridiag(n)
+    ref = sla.eigvalsh_tridiagonal(d, e)
+    lo, hi = gershgorin_bounds(jnp.asarray(d), jnp.asarray(e))
+    lam = sturm_bisect(jnp.asarray(d), jnp.asarray(e), jnp.arange(n),
+                       lo, hi, interpret=True)
+    assert np.abs(np.array(lam) - ref).max() < 1e-11
+
+
+def test_sturm_bisect_subset_and_f32():
+    n = 150
+    d, e = _rand_tridiag(n, seed=3)
+    ref = sla.eigvalsh_tridiagonal(d, e)
+    lo, hi = gershgorin_bounds(jnp.asarray(d), jnp.asarray(e))
+    lam = sturm_bisect(jnp.asarray(d), jnp.asarray(e), jnp.arange(9),
+                       lo, hi, interpret=True)
+    assert np.abs(np.array(lam) - ref[:9]).max() < 1e-11
+    lam32 = sturm_bisect(jnp.asarray(d, jnp.float32),
+                         jnp.asarray(e, jnp.float32), jnp.arange(n),
+                         lo, hi, interpret=True)
+    assert np.abs(np.array(lam32) - ref).max() < 1e-4
+
+
+def test_sturm_bisect_degenerate():
+    d = np.concatenate([np.full(30, 1.5), np.linspace(2, 3, 30)])
+    e = np.zeros(59)
+    ref = np.sort(d)
+    lo, hi = gershgorin_bounds(jnp.asarray(d), jnp.asarray(e))
+    lam = sturm_bisect(jnp.asarray(d), jnp.asarray(e), jnp.arange(60),
+                       lo, hi, interpret=True)
+    assert np.abs(np.array(lam) - ref).max() < 1e-12

@@ -19,9 +19,8 @@ because V vanishes above s+bw, this simultaneously produces R in the panel
 (band) block, transforms the trailing block, and leaves finished rows
 untouched.  A final band mask clears the eliminated entries' roundoff.
 
-Stage 2 (band -> tridiagonal) currently reuses the one-stage Householder
-reduction on the banded matrix (mathematically exact; a windowed bulge-chase
-replacement is the planned optimization), see solvers/twostage.py.
+Stage 2 (band -> tridiagonal) is the bulge-chasing kernel in ops/bulge.py;
+the pipeline composition lives in solvers/twostage.py.
 """
 
 from __future__ import annotations

@@ -1,0 +1,145 @@
+"""Two-stage reduction, stage 2: band -> tridiagonal by bulge chasing.
+
+TPU-native analog of the band-to-tridiagonal kernels inside ELPA2 and
+EigenExa's eigen_sx (the second stage the reference delegates to those
+libraries; solver_elpa.f90:448, solver_eigenexa.f90:121).
+
+Algorithm (Lang/Schwarz Householder chasing): for each sweep c, a length-bw
+Householder (pivot at the band edge) eliminates the sub-band entries of
+column c; the two-sided window update creates a triangular bulge one block
+down, whose FIRST column is eliminated by the next chase Householder at
+p + bw, and whose remaining columns are absorbed by the chases of later
+sweeps (each chase eliminates *all* sub-band entries of its target column —
+old fill and new fill together).  All updates act on static-size
+``bw x (3 bw + 1)`` windows of a padded work matrix, so the whole reduction
+is one XLA computation (two nested fori_loops) with O(n^2 bw) flops — no
+O(n^3) matvecs.
+
+The chase reflectors are stored per (sweep, position).  Within one sweep
+the positions own DISJOINT row windows ``[c+1+t*bw, c+1+(t+1)*bw)``, so the
+back-transform applies a whole sweep to the eigenvector block as one
+batched rank-1 update (einsum over the position axis) — n sequential steps
+of full-width work instead of n^2/bw rank-1s.  (WY-grouping consecutive
+sweeps, ELPA2's trick, is the planned next refinement.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh
+
+from eigenkernel_tpu.ops.blocked import _wsc
+
+
+class ChaseResult(NamedTuple):
+    d: jax.Array     # (n,)   tridiagonal diagonal
+    e: jax.Array     # (n-1,) subdiagonal
+    HV: jax.Array    # (n, T, bw) chase reflectors per (sweep, position)
+    HT: jax.Array    # (n, T)     chase taus
+    bw: jax.Array    # scalar
+
+
+def _house_pivot0(x: jax.Array):
+    """Householder with pivot at x[0], eliminating x[1:]."""
+    dtype = x.dtype
+    sigma = jnp.sum(x[1:] * x[1:])
+    zero_tail = sigma == 0
+    alpha = x[0]
+    sgn = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
+    beta = jnp.where(zero_tail, alpha, -sgn * jnp.sqrt(alpha * alpha + sigma))
+    denom = jnp.where(zero_tail, 1.0, alpha - beta).astype(dtype)
+    live = jnp.logical_not(zero_tail).astype(dtype)
+    v = jnp.concatenate([live[None], x[1:] / denom * live])
+    tau = live * jnp.where(zero_tail, 0.0,
+                           (beta - alpha) / jnp.where(beta == 0, 1.0, beta))
+    return v.astype(dtype), tau.astype(dtype)
+
+
+def band_to_tridiag(band: jax.Array, bw: int) -> ChaseResult:
+    """Reduce a symmetric band matrix (semibandwidth bw) to tridiagonal."""
+    n = band.shape[0]
+    dtype = band.dtype
+    b = bw
+    if n <= 2 or bw <= 1:
+        d = jnp.diag(band)
+        e = jnp.diag(band, -1) if n > 1 else jnp.zeros((0,), dtype)
+        return ChaseResult(d, e, jnp.zeros((n, 1, b), dtype),
+                           jnp.zeros((n, 1), dtype),
+                           jnp.asarray(bw, jnp.int32))
+    pad = 3 * b + 2
+    T = n // b + 2
+    w = jnp.zeros((n + 2 * pad, n + 2 * pad), dtype)
+    w = lax.dynamic_update_slice(w, band, (pad, pad))
+    win = 3 * b + 1
+
+    def sweep(c, carry):
+        w, HV, HT = carry
+
+        def chase(t, inner):
+            w, HVc, HTc = inner
+            p = c + 1 + t * b
+            jcol = jnp.where(t == 0, c, p - b)
+            x = lax.dynamic_slice(w, (pad + p, pad + jcol), (b, 1))[:, 0]
+            v, tau = _house_pivot0(x)
+            # two-sided update on the bw x (3bw+1) window around p
+            asub = lax.dynamic_slice(w, (pad + p, pad + p - b - 1), (b, win))
+            asub = asub - tau * jnp.outer(v, v @ asub)
+            w = lax.dynamic_update_slice(w, asub, (pad + p, pad + p - b - 1))
+            bsub = lax.dynamic_slice(w, (pad + p - b - 1, pad + p), (win, b))
+            bsub = bsub - tau * jnp.outer(bsub @ v, v)
+            w = lax.dynamic_update_slice(w, bsub, (pad + p - b - 1, pad + p))
+            HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
+            HTc = HTc.at[t].set(tau)
+            return (w, HVc, HTc)
+
+        hvc0 = jnp.zeros((T, b), dtype)
+        htc0 = jnp.zeros((T,), dtype)
+        w, HVc, HTc = lax.fori_loop(0, T, chase, (w, hvc0, htc0))
+        HV = lax.dynamic_update_slice(HV, HVc[None], (c, 0, 0))
+        HT = lax.dynamic_update_slice(HT, HTc[None], (c, 0))
+        return (w, HV, HT)
+
+    HV0 = jnp.zeros((n, T, b), dtype)
+    HT0 = jnp.zeros((n, T), dtype)
+    w, HV, HT = lax.fori_loop(0, n - 2, sweep, (w, HV0, HT0))
+    core = lax.dynamic_slice(w, (pad, pad), (n, n))
+    d = jnp.diagonal(core)
+    e = jnp.diagonal(core, -1)
+    return ChaseResult(d=d, e=e, HV=HV, HT=HT, bw=jnp.asarray(bw, jnp.int32))
+
+
+def apply_chase_q(res: ChaseResult, z: jax.Array, bw: int,
+                  mesh: Optional[Mesh] = None,
+                  transpose: bool = False) -> jax.Array:
+    """``z <- Q2 z`` (or ``Q2^T z``) with Q2 the stage-2 chase transform.
+
+    One fori_loop over sweeps (reverse order for Q2); each step applies the
+    sweep's disjoint-window reflectors as a single batched rank-1 update.
+    """
+    n, k = z.shape
+    b = bw
+    T = res.HV.shape[1]
+    if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
+        return z
+    padz = (T + 2) * b
+    zp = jnp.zeros((n + padz, k), z.dtype)
+    zp = lax.dynamic_update_slice(zp, z, (0, 0))
+    nsweeps = n - 2
+
+    def step(i, zp):
+        c = i if transpose else nsweeps - 1 - i
+        v = lax.dynamic_slice(res.HV, (c, 0, 0), (1, T, b))[0]   # (T, b)
+        tau = lax.dynamic_slice(res.HT, (c, 0), (1, T))[0]       # (T,)
+        zwin = lax.dynamic_slice(zp, (c + 1, 0), (T * b, k))
+        zwin = zwin.reshape(T, b, k)
+        coef = jnp.einsum("tb,tbk->tk", v, zwin) * tau[:, None]
+        zwin = zwin - v[:, :, None] * coef[:, None, :]
+        zp = lax.dynamic_update_slice(zp, zwin.reshape(T * b, k), (c + 1, 0))
+        return zp
+
+    zp = lax.fori_loop(0, nsweeps, step, zp)
+    return zp[:n]

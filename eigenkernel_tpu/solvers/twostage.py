@@ -1,13 +1,12 @@
 """Two-stage SEP core: full -> band -> tridiagonal (eigen_sx / ELPA2 analog).
 
-Stage 1 (ops/band.py) does all-GEMM full->band reduction.  Stage 2
-currently tridiagonalizes the banded matrix with the one-stage Householder
-kernel — mathematically exact, and its matvecs touch a mostly-banded
-matrix; replacing it with a windowed bulge-chase (and WY-grouped stage-2
-back-transform, the ELPA2 trick) is the planned kernel optimization.
+Stage 1 (ops/band.py): all-GEMM full->band reduction, bandwidth = panel.
+Stage 2 (ops/bulge.py): Householder bulge chasing on static windows,
+O(n^2 bw) flops, no O(n^3) matvecs — the accelerator formulation that makes
+two-stage the flagship (ELPA2 / eigen_sx role in the reference).
 
 Eigenvector recovery composes both stages:
-``z_A = Q_band (Q_tri z_T)`` — two blocks of pure GEMMs.
+``z_A = Q_band (Q_chase z_T)`` — batched sweep rank-1s, then panel WY GEMMs.
 """
 
 from __future__ import annotations
@@ -17,7 +16,7 @@ from functools import partial
 import jax
 
 from eigenkernel_tpu.ops import band as bandlib
-from eigenkernel_tpu.ops import householder
+from eigenkernel_tpu.ops import bulge as bulgelib
 
 
 @partial(jax.jit, static_argnames=("bw", "mesh"))
@@ -25,14 +24,14 @@ def _j_to_band(a, bw, mesh):
     return bandlib.to_band(a, bw=bw, mesh=mesh)
 
 
-@partial(jax.jit, static_argnames=("block", "mesh"))
-def _j_tridiagonalize(a, block, mesh):
-    return householder.tridiagonalize(a, block=block, mesh=mesh)
+@partial(jax.jit, static_argnames=("bw",))
+def _j_band_to_tridiag(band, bw):
+    return bulgelib.band_to_tridiag(band, bw=bw)
 
 
-@partial(jax.jit, static_argnames=("bw", "block", "mesh"))
-def _j_back_transform_two_stage(band_res, tri, z, bw, block, mesh):
-    z = householder.apply_q(tri, z, block=block, mesh=mesh)
+@partial(jax.jit, static_argnames=("bw", "mesh"))
+def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh):
+    z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=mesh)
     return bandlib.apply_band_q(band_res, z, bw=bw, mesh=mesh)
 
 
@@ -41,10 +40,10 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
 
     bw = ctx.block_size
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh)
-    tri = _run(ctx, "sep:band_to_tridiag", _j_tridiagonalize,
-               band_res.band, ctx.block_size, ctx.mesh)
+    chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
+                 band_res.band, bw)
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
-                tri.d, tri.e, n_vec, ctx.mesh)
+                chase.d, chase.e, n_vec, ctx.mesh)
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
-             band_res, tri, z, bw, ctx.block_size, ctx.mesh)
+             band_res, chase, z, bw, ctx.mesh)
     return w, z

@@ -148,3 +148,23 @@ def test_to_band():
     Q = np.array(apply_band_q(res, jnp.eye(n), bw=bw))
     assert np.abs(Q @ Q.T - np.eye(n)).max() < 1e-13
     assert np.abs(Q @ band @ Q.T - A).max() < 1e-11
+
+
+def test_bulge_chase():
+    import scipy.linalg as sla
+    from eigenkernel_tpu.ops.bulge import apply_chase_q, band_to_tridiag
+
+    rng = np.random.default_rng(7)
+    n, bw = 96, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    A = np.where(np.abs(i - j) <= bw, A, 0.0)
+    res = band_to_tridiag(jnp.asarray(A), bw)
+    d, e = np.array(res.d), np.array(res.e)
+    wT = np.sort(sla.eigvalsh_tridiagonal(d, e))
+    assert np.abs(wT - np.linalg.eigvalsh(A)).max() < 1e-11
+    Q = np.array(apply_chase_q(res, jnp.eye(n), bw))
+    Tm = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+    assert np.abs(Q @ Q.T - np.eye(n)).max() < 1e-13
+    assert np.abs(Q @ Tm @ Q.T - A).max() < 1e-12

@@ -1,17 +1,19 @@
 """Benchmark driver: one JSON line for the round harness.
 
 Measures time-to-solution of the standard symmetric EVP at M=EK_BENCH_N
-(default 4096) on the local chip with our one-stage pipeline (fused jit),
-against XLA's built-in QDWH ``jnp.linalg.eigh`` on the same matrix/precision
-as the baseline — the strongest existing TPU eigensolver available to a
-user today (the reference itself publishes no numbers, BASELINE.md).
+(default 4096) on the local chip with our staged pipeline, against XLA's
+built-in QDWH ``jnp.linalg.eigh`` on the same matrix/precision as the
+baseline — the strongest existing TPU eigensolver available to a user today
+(the reference itself publishes no numbers, BASELINE.md).
 
 vs_baseline = t_eigh / t_ours  (>1 means we beat XLA's eigh).
 
-Timing notes: on the tunneled TPU in this environment ``block_until_ready``
-does not actually synchronize, so every timed region ends with a dependent
-scalar fetch.  The residual/orthogonality are computed on device and
-reported to stderr for the judge.
+Implementation notes for this environment:
+* the staged path is used (each stage is its own cached-jit computation) —
+  one fully-fused program hits pathological remote-compile times;
+* ``block_until_ready`` does not synchronize through the TPU tunnel, so
+  every timed region ends with a dependent scalar fetch;
+* the persistent compilation cache (.jax_cache) makes reruns fast.
 
 Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64), EK_BENCH_SOLVER,
 EK_BENCH_BLOCK.
@@ -54,14 +56,13 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from eigenkernel_tpu.solvers.api import fused_solver
+    from eigenkernel_tpu.obs.events import EventLog
+    from eigenkernel_tpu.solvers.api import solve
 
     rng = np.random.default_rng(0)
     a = rng.standard_normal((n, n))
     a = ((a + a.T) / 2).astype(dtype_name)
     ad = jnp.asarray(a)
-
-    fn = jax.jit(fused_solver(solver, n=n, block_size=block))
 
     @jax.jit
     def quality(w, v, ad):
@@ -70,20 +71,23 @@ def main() -> None:
             return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
                     jnp.max(jnp.abs(v.T @ v - jnp.eye(n, dtype=v.dtype))))
 
-    # --- ours
+    # --- ours (staged; first call compiles each stage, cached on disk)
     t0 = time.time()
-    w, v = fn(ad)
-    _sync_scalar(w)
+    p = solve(ad, solver=solver, block_size=block)
+    _sync_scalar(p.values)
     compile_s = time.time() - t0
     times = []
-    for _ in range(3):
+    log = EventLog(stream=False)
+    for i in range(3):
         t0 = time.time()
-        w, v = fn(ad)
-        _sync_scalar(w + v[0, :])
+        p = solve(ad, solver=solver, block_size=block,
+                  log=log if i == 2 else None)
+        _sync_scalar(p.values + p.vectors[0, :])
         times.append(time.time() - t0)
     t_ours = min(times)
-    resid, orth = quality(w, v, ad)
+    resid, orth = quality(p.values, p.vectors, ad)
     resid, orth = _sync_scalar(resid), _sync_scalar(orth)
+    stage_times = {e["name"]: round(e["val"], 4) for e in log.events()}
 
     # --- baseline: XLA QDWH eigh
     eigh = jax.jit(jnp.linalg.eigh)
@@ -98,12 +102,13 @@ def main() -> None:
         _sync_scalar(w2 + v2[0, :])
         times.append(time.time() - t0)
     t_eigh = min(times)
-    ev_gap = _sync_scalar(jnp.max(jnp.abs(w - w2)))
+    ev_gap = _sync_scalar(jnp.max(jnp.abs(p.values - w2)))
 
     print(f"# n={n} dtype={dtype_name} solver={solver} "
-          f"ours={t_ours:.4f}s (compile {compile_s:.1f}s) "
-          f"eigh={t_eigh:.4f}s (compile {compile_eigh_s:.1f}s) "
-          f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={ev_gap:.2e}",
+          f"ours={t_ours:.4f}s (first {compile_s:.1f}s) "
+          f"eigh={t_eigh:.4f}s (first {compile_eigh_s:.1f}s) "
+          f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={ev_gap:.2e} "
+          f"stages={stage_times}",
           file=sys.stderr)
 
     print(json.dumps({

@@ -21,6 +21,37 @@ import time
 import numpy as np
 
 
+def _print_select_report(values: "np.ndarray", rel_tol: float = 1e-8) -> None:
+    """Eigenvalue-cluster diagnostics for selecting solvers — the
+    pdsyevx_report analog (solver_scalapack_select.f90:104-135), which
+    warned about clustered eigenvalues endangering eigenvector
+    orthogonality.  Here clusters are handled by shift separation +
+    CholeskyQR2, so this is informational."""
+    if values.size < 2:
+        return
+    span = max(float(values[-1] - values[0]), 1e-300)
+    gaps = np.diff(values)
+    in_cluster = gaps < rel_tol * span
+    n_clusters = 0
+    largest = 1
+    run = 1
+    for flag in in_cluster:
+        if flag:
+            run += 1
+        else:
+            if run > 1:
+                n_clusters += 1
+                largest = max(largest, run)
+            run = 1
+    if run > 1:
+        n_clusters += 1
+        largest = max(largest, run)
+    if n_clusters:
+        print(f"selecting solver: {n_clusters} eigenvalue cluster(s) "
+              f"(largest size {largest}, rel gap < {rel_tol:g}); "
+              f"orthogonality enforced by shift separation + CholeskyQR2")
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     t_start = time.time()
@@ -132,6 +163,9 @@ def main(argv=None) -> int:
     import jax as _jax
     _jax.block_until_ready((pairs.values, pairs.vectors))
     log.add_event("main:eigen_solver", time.time() - t0)
+
+    if spec.selecting:
+        _print_select_report(np.asarray(jax.device_get(pairs.values)))
 
     # --- outputs
     t0 = time.time()

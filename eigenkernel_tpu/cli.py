@@ -72,7 +72,7 @@ def main(argv=None) -> int:
 
     if arg.platform:
         jax.config.update("jax_platforms", arg.platform)
-    if arg.dtype == "float64":
+    if arg.dtype in ("float64", "mixed"):
         jax.config.update("jax_enable_x64", True)
     cache_dir = os.environ.get("EK_CACHE_DIR")
     if cache_dir:
@@ -136,7 +136,8 @@ def main(argv=None) -> int:
 
     # --- mesh setup + host->device "broadcast"
     t0 = time.time()
-    dtype = np.float64 if arg.dtype == "float64" else np.float32
+    # 'mixed' keeps the host copy in f64 (refinement needs full precision)
+    dtype = np.float32 if arg.dtype == "float32" else np.float64
     mesh = None
     if not spec.single_device and n_dev > 1:
         mesh = meshlib.make_mesh(shape=arg.mesh_shape)
@@ -159,7 +160,8 @@ def main(argv=None) -> int:
     t0 = time.time()
     pairs = solve(a_dense, b_dense, solver=arg.solver_type,
                   n_vec=arg.n_vec if spec.selecting else None,
-                  mesh=mesh, block_size=arg.block_size, log=log)
+                  mesh=mesh, block_size=arg.block_size, log=log,
+                  dtype="mixed" if arg.dtype == "mixed" else None)
     import jax as _jax
     _jax.block_until_ready((pairs.values, pairs.vectors))
     log.add_event("main:eigen_solver", time.time() - t0)

@@ -103,7 +103,8 @@ Options are:
   --print-grid-mapping  Print which device is assigned to each grid coordinate
   --binary  Output eigenvectors as binary files
 TPU-native options:
-  --dtype <float64|float32>  Compute precision (default float64)
+  --dtype <float64|float32|mixed>  Compute precision (default float64;
+            'mixed' = float32 pipeline + float64 Newton refinement)
   --mesh <R,C>  Force an RxC device grid (default: near-square auto layout)
   --platform <cpu|tpu>  Force the jax platform
 """
@@ -201,7 +202,7 @@ def parse_args(argv: list[str]) -> Args:
     if not arg.matrix_A_filename:
         raise ArgumentError("parse_args: Matrix A file not specified")
     arg.is_generalized_problem = bool(arg.matrix_B_filename)
-    if arg.dtype not in ("float64", "float32"):
+    if arg.dtype not in ("float64", "float32", "mixed"):
         raise ArgumentError(f"parse_args: unsupported dtype {arg.dtype}")
     return arg
 

@@ -1,0 +1,142 @@
+"""Mixed-precision eigenpair refinement (Ogita-Aishima Newton iteration).
+
+TPU rationale: float64 is software-emulated on TPU cores, so a full f64
+pipeline pays a large constant.  Instead the pipeline runs in fast float32
+and the eigenpairs are *refined* to f64 accuracy with a few GEMM-dominant
+Newton steps — the accelerator equivalent of the reference's reliance on
+f64 LAPACK throughout.  One step squares the error (1e-7 -> ~1e-14); two
+steps are used by default.
+
+Derivation (standard or B-generalized, V the approximate eigenvector block):
+
+    R = V^T B V (Gram),  S = V^T A V,  lambda_j = S_jj / R_jj
+    F = I - R                       (orthonormality defect)
+    E_ij = (S_ij + F_ij lambda_j) / (lambda_j - lambda_i)   (i != j)
+    E_ii = F_ii / 2
+    V <- V (I + E)
+
+which is Newton's method on { V^T B V = I, offdiag(V^T A V) = 0 }
+(Ogita & Tanaka's RefSyEv/RefSyGv scheme).  Inside eigenvalue clusters the
+rotation component is unconstrained (any orthonormal basis of the cluster
+eigenspace is a solution), so for |lambda_i - lambda_j| below a gap
+threshold only the symmetric orthonormality part F_ij/2 is applied.
+
+All O(n^2 k) work is 3 GEMMs per step, mesh-shardable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from eigenkernel_tpu.ops.blocked import _wsc
+
+
+def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
+                      steps: int = 3, mesh: Optional[Mesh] = None,
+                      gap_factor: float = 30.0):
+    """Refine approximate eigenvectors ``v`` (columns) of ``A [x = lam B x]``
+    in the dtype of ``a`` (use f64 inputs to refine f32 results).
+
+    Returns (values, vectors) with vectors [B-]orthonormal to working
+    precision.  ``v`` may be lower precision; it is promoted.
+    """
+    dtype = a.dtype
+    v = v.astype(dtype)
+    if b is not None:
+        b = b.astype(dtype)
+    k = v.shape[1]
+    eye = jnp.eye(k, dtype=dtype)
+    lam = None
+    for _ in range(steps):
+        av = _wsc(a @ v, mesh)
+        bv = _wsc(b @ v, mesh) if b is not None else v
+        s = _wsc(v.T @ av, mesh)
+        r = _wsc(v.T @ bv, mesh)
+        lam = jnp.diagonal(s) / jnp.diagonal(r)
+        f = eye - r
+        dl = lam[None, :] - lam[:, None]          # lambda_j - lambda_i
+        scale = jnp.maximum(jnp.max(lam) - jnp.min(lam),
+                            jnp.finfo(dtype).tiny)
+        # adaptive cluster threshold: pairs whose gap is below ~the current
+        # error level (estimated by the orthonormality defect) count as one
+        # eigenspace; everything wider gets the full Newton correction.
+        # Pairs with gap below ~sqrt(eps) stay frozen permanently: their
+        # in-cluster rotation is noise-limited and re-rotating each step
+        # degrades orthonormality (the symmetric F/2 part still applies).
+        err_est = jnp.max(jnp.abs(f))
+        eps = jnp.finfo(dtype).eps
+        floor = 100.0 * jnp.sqrt(eps)
+        tiny = scale * jnp.maximum(gap_factor * err_est, floor)
+        safe = jnp.abs(dl) > tiny
+        e_off = jnp.where(safe, (s + f * lam[None, :]) /
+                          jnp.where(safe, dl, 1.0), f * 0.5)
+        e = jnp.where(eye == 1, f * 0.5, e_off)
+        v = _wsc(v + v @ e, mesh)
+    # Cluster cleanup: Newton freezes rotations inside near-degenerate
+    # clusters (anything f32 could not separate).  Since cluster members
+    # are adjacent in the sorted spectrum, a few batched adjacent-pair
+    # Jacobi passes on the projected matrix S = V^T A V diagonalize every
+    # cluster exactly — O(k^2) per pass plus ONE V @ J GEMM.
+    av = _wsc(a @ v, mesh)
+    s = _wsc(v.T @ av, mesh)
+    s, j_rot = _adjacent_jacobi(s, passes=6)
+    v = _wsc(v @ j_rot, mesh)
+    lam = jnp.diagonal(s)
+    if b is not None:
+        bv = _wsc(b @ v, mesh)
+        lam = lam / jnp.sum(v * bv, axis=0)
+    order = jnp.argsort(lam)
+    return lam[order], v[:, order]
+
+
+def _adjacent_jacobi(s: jax.Array, passes: int = 6):
+    """Alternating odd/even batched Jacobi rotations on adjacent index
+    pairs of symmetric ``s``; returns (rotated s, accumulated rotation J)
+    with ``s_new = J^T s J``.  Angles are ~0 outside clusters (offdiagonals
+    there are already ~eps), so this is a targeted cluster diagonalizer."""
+    k = s.shape[0]
+    dtype = s.dtype
+    j_acc = jnp.eye(k, dtype=dtype)
+    if k < 2:
+        return s, j_acc
+
+    def one_pass(s, j_acc, parity):
+        rows = jnp.arange(parity, k - 1, 2)
+        app = s[rows, rows]
+        aqq = s[rows + 1, rows + 1]
+        apq = s[rows, rows + 1]
+        safe = jnp.abs(apq) > jnp.finfo(dtype).tiny
+        tau = (aqq - app) / jnp.where(safe, 2.0 * apq, 1.0)
+        t = jnp.where(
+            safe,
+            jnp.where(tau >= 0, 1.0, -1.0) /
+            (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau)),
+            0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        sn = t * c
+
+        def rot_rows(m):
+            mj = m[rows, :]
+            mj1 = m[rows + 1, :]
+            m = m.at[rows, :].set(c[:, None] * mj - sn[:, None] * mj1)
+            m = m.at[rows + 1, :].set(sn[:, None] * mj + c[:, None] * mj1)
+            return m
+
+        def rot_cols(m):
+            mj = m[:, rows]
+            mj1 = m[:, rows + 1]
+            m = m.at[:, rows].set(c[None, :] * mj - sn[None, :] * mj1)
+            m = m.at[:, rows + 1].set(sn[None, :] * mj + c[None, :] * mj1)
+            return m
+
+        s = rot_cols(rot_rows(s))
+        j_acc = rot_cols(j_acc)
+        return s, j_acc
+
+    for i in range(passes):
+        s, j_acc = one_pass(s, j_acc, i % 2)
+    return s, j_acc

@@ -15,6 +15,8 @@ Responsibilities, mirroring the reference's registry hub:
 from __future__ import annotations
 
 import math
+import time
+from functools import partial
 from typing import Any, Optional
 
 import numpy as np
@@ -65,6 +67,12 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     if a.shape[0] != a.shape[1] or (b is not None and b.shape != a.shape):
         raise ValueError("matrix dimension mismatch")
     n_vec = n if n_vec is None else int(n_vec)
+    mixed = dtype == "mixed"
+    if mixed:
+        # mixed precision: fast f32 pipeline + f64 Newton refinement
+        # (ops/refine.py) — f64 is software-emulated on TPU, so only the
+        # three refinement GEMMs pay the f64 cost.
+        dtype = jnp.float32
     dtype = dtype or (a.dtype if hasattr(a, "dtype") and
                       np.dtype(a.dtype).kind == "f" else jnp.float64)
 
@@ -100,10 +108,31 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
 
     values = w[:n_vec]
     vectors = z[:n, :n_vec]
+
+    if mixed:
+        # refine against the ORIGINAL full-precision operands, not the
+        # f32-rounded pipeline copies.
+        t0 = time.time()
+        a64 = jax.device_put(
+            np.asarray(jax.device_get(a), dtype=np.float64), sharding)
+        b64 = jax.device_put(
+            np.asarray(jax.device_get(b), dtype=np.float64), sharding) \
+            if b is not None else None
+        with jax.default_matmul_precision("highest"):
+            values, vectors = _j_refine(a64, vectors, b64, ctx_mesh)
+        ctx.tick("solve:refine", t0, (values, vectors))
+
     return EigenPairs(values=values, vectors=vectors,
                       sharded=ctx_mesh is not None,
                       meta={"solver": solver, "n_pad": n_pad,
                             "panel": panel, "gemm_block": gemm_block})
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _j_refine(a64, v, b64, mesh):
+    from eigenkernel_tpu.ops.refine import refine_eigenpairs
+
+    return refine_eigenpairs(a64, v, b=b64, mesh=mesh)
 
 
 def fused_solver(solver: str, n: int, n_vec: Optional[int] = None,

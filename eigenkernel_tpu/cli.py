@@ -158,12 +158,16 @@ def main(argv=None) -> int:
     # --- solve (eigen_solver analog)
     print("\n----- Solver Call -----")
     t0 = time.time()
-    pairs = solve(a_dense, b_dense, solver=arg.solver_type,
-                  n_vec=arg.n_vec if spec.selecting else None,
-                  mesh=mesh, block_size=arg.block_size, log=log,
-                  dtype="mixed" if arg.dtype == "mixed" else None)
-    import jax as _jax
-    _jax.block_until_ready((pairs.values, pairs.vectors))
+    import contextlib
+
+    profile_cm = jax.profiler.trace(arg.profile_dir) if arg.profile_dir \
+        else contextlib.nullcontext()
+    with profile_cm:
+        pairs = solve(a_dense, b_dense, solver=arg.solver_type,
+                      n_vec=arg.n_vec if spec.selecting else None,
+                      mesh=mesh, block_size=arg.block_size, log=log,
+                      dtype="mixed" if arg.dtype == "mixed" else None)
+        jax.block_until_ready((pairs.values, pairs.vectors))
     log.add_event("main:eigen_solver", time.time() - t0)
 
     if spec.selecting:

@@ -63,6 +63,7 @@ class Args:
     dtype: str = "float64"
     mesh_shape: Optional[tuple[int, int]] = None
     platform: Optional[str] = None   # force jax platform (cpu/tpu)
+    profile_dir: str = ""            # write a jax.profiler trace here
 
 
 HELP_TEXT = f"""\
@@ -107,6 +108,7 @@ TPU-native options:
             'mixed' = float32 pipeline + float64 Newton refinement)
   --mesh <R,C>  Force an RxC device grid (default: near-square auto layout)
   --platform <cpu|tpu>  Force the jax platform
+  --profile <dir>  Write a jax.profiler trace of the solver call to <dir>
 """
 
 
@@ -190,6 +192,8 @@ def parse_args(argv: list[str]) -> Args:
                 arg.mesh_shape = (int(r), int(c))
             elif key == "-platform":
                 arg.platform = take_value(a)
+            elif key == "-profile":
+                arg.profile_dir = take_value(a)
             else:
                 print(HELP_TEXT)
                 raise ArgumentError(f"parse_args: unknown option {a}")

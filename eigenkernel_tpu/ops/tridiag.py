@@ -294,9 +294,19 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
     span = hi - lo
     lam_sep = separate_shifts(lam, 4.0 * eps * span)
 
+    import os
+
+    method = os.environ.get("EK_SOLVE", "auto")
+    if method == "auto":
+        method = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    solver = tridiag_solve_shifted
+    if method == "pallas":
+        from eigenkernel_tpu.ops.pallas_solve import tridiag_solve_pallas
+        solver = tridiag_solve_pallas
+
     v = jax.random.normal(jax.random.PRNGKey(7), (n, k), dtype)
     for _ in range(invit_steps):
-        v = tridiag_solve_shifted(d, e, lam_sep, v)
+        v = solver(d, e, lam_sep, v)
         v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
     v = cholqr2(v, mesh=mesh)
     return lam, v

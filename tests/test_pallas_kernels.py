@@ -46,3 +46,20 @@ def test_sturm_bisect_degenerate():
     lam = sturm_bisect(jnp.asarray(d), jnp.asarray(e), jnp.arange(60),
                        lo, hi, interpret=True)
     assert np.abs(np.array(lam) - ref).max() < 1e-12
+
+
+def test_tridiag_solve_pallas():
+    from eigenkernel_tpu.ops.householder import tridiag_matrix
+    from eigenkernel_tpu.ops.pallas_solve import tridiag_solve_pallas
+
+    rng = np.random.default_rng(1)
+    n, k = 300, 20
+    d = jnp.asarray(rng.standard_normal(n))
+    e = jnp.asarray(rng.standard_normal(n - 1))
+    lam = jnp.asarray(rng.standard_normal(k) * 0.1)
+    b = jnp.asarray(rng.standard_normal((n, k)))
+    x = np.array(tridiag_solve_pallas(d, e, lam, b, interpret=True))
+    T = np.array(tridiag_matrix(d, e))
+    for j in range(k):
+        r = (T - float(lam[j]) * np.eye(n)) @ x[:, j] - np.array(b)[:, j]
+        assert np.abs(r).max() < 1e-9

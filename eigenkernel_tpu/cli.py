@@ -211,6 +211,8 @@ def main(argv=None) -> int:
         arg.log_filename,
         settings_json(arg, "eigenkernel_app " + " ".join(argv),
                       arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
+    if arg.verbose_level > 0:
+        log.print_events()   # terminate()-style event dump (processes.f90)
     return 0
 
 

@@ -110,16 +110,23 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     vectors = z[:n, :n_vec]
 
     if mixed:
-        # refine against the ORIGINAL full-precision operands, not the
-        # f32-rounded pipeline copies.
+        # Refine against the ORIGINAL full-precision operands, not the
+        # f32-rounded pipeline copies; padded back to n_pad so the 2D mesh
+        # sharding stays valid (V's zero pad rows are invariant under the
+        # Newton update, so the padded refinement equals the unpadded one).
         t0 = time.time()
-        a64 = jax.device_put(
-            np.asarray(jax.device_get(a), dtype=np.float64), sharding)
-        b64 = jax.device_put(
-            np.asarray(jax.device_get(b), dtype=np.float64), sharding) \
-            if b is not None else None
+        a64 = np.zeros((n_pad, n_pad), np.float64)
+        a64[:n, :n] = np.asarray(jax.device_get(a), dtype=np.float64)
+        b64 = None
+        if b is not None:
+            b64 = np.eye(n_pad, dtype=np.float64)
+            b64[:n, :n] = np.asarray(jax.device_get(b), dtype=np.float64)
+            b64 = jax.device_put(b64, sharding)
+        a64 = jax.device_put(a64, sharding)
+        v_pad = jnp.zeros((n_pad, n_vec), vectors.dtype).at[:n, :].set(vectors)
         with jax.default_matmul_precision("highest"):
-            values, vectors = _j_refine(a64, vectors, b64, ctx_mesh)
+            values, v_pad = _j_refine(a64, v_pad, b64, ctx_mesh)
+        vectors = v_pad[:n, :]
         ctx.tick("solve:refine", t0, (values, vectors))
 
     return EigenPairs(values=values, vectors=vectors,

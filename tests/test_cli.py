@@ -111,3 +111,35 @@ def test_grid_mapping_flag(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Grid mapping" in out
+
+
+def test_dtype_float32_cli(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "lapack", "--dtype", "float32", A30])
+    assert rc == 0
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")
+    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_BNZ30_ev.txt")
+    assert ev.dtype == np.float64 and ev.shape == (30, 2)
+    assert np.abs(ev[:, 1] - ref[:, 1]).max() < 5e-3  # f32-level accuracy
+
+
+def test_dtype_mixed_cli(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "general_elpa2", "--dtype", "mixed",
+                            A30, B30])
+    assert rc == 0
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")
+    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_BNZ30_ev.txt")
+    assert np.abs(ev[:, 1] - ref[:, 1]).max() < 1e-12
+
+
+def test_verbose_event_dump(tmp_path, capsys):
+    rc = run_cli(tmp_path, ["-s", "lapack", "-v", A30])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Events:" in out and "main:eigen_solver" in out
+
+
+def test_profile_flag(tmp_path):
+    os.makedirs(tmp_path / "prof")
+    rc = run_cli(tmp_path, ["-s", "lapack", "--profile", "prof", A30])
+    assert rc == 0
+    assert any((tmp_path / "prof").rglob("*.xplane.pb"))

@@ -117,9 +117,11 @@ def test_dtype_float32_cli(tmp_path):
     rc = run_cli(tmp_path, ["-s", "lapack", "--dtype", "float32", A30])
     assert rc == 0
     ev = np.loadtxt(tmp_path / "eigenvalues.dat")
-    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_BNZ30_ev.txt")
-    assert ev.dtype == np.float64 and ev.shape == (30, 2)
-    assert np.abs(ev[:, 1] - ref[:, 1]).max() < 5e-3  # f32-level accuracy
+    assert ev.shape == (30, 2)
+    from eigenkernel_tpu.io import matrix_market as mm
+    a = mm.read_matrix(A30).to_dense()
+    ref = np.linalg.eigvalsh(a)  # standard problem on A alone
+    assert np.abs(ev[:, 1] - ref).max() < 5e-4  # f32-level accuracy
 
 
 def test_dtype_mixed_cli(tmp_path):

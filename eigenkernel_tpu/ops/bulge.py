@@ -59,8 +59,20 @@ def _house_pivot0(x: jax.Array):
     return v.astype(dtype), tau.astype(dtype)
 
 
-def band_to_tridiag(band: jax.Array, bw: int) -> ChaseResult:
-    """Reduce a symmetric band matrix (semibandwidth bw) to tridiagonal."""
+def band_to_tridiag(band: jax.Array, bw: int,
+                    schedule: str = "sequential") -> ChaseResult:
+    """Reduce a symmetric band matrix (semibandwidth bw) to tridiagonal.
+
+    schedule='wavefront' runs the stagger-4 pipelined variant
+    (:func:`band_to_tridiag_wavefront`) — same reflectors, ~8x fewer
+    sequential steps.
+    """
+    if schedule == "wavefront":
+        return band_to_tridiag_wavefront(band, bw)
+    return _band_to_tridiag_seq(band, bw)
+
+
+def _band_to_tridiag_seq(band: jax.Array, bw: int) -> ChaseResult:
     n = band.shape[0]
     dtype = band.dtype
     b = bw
@@ -143,3 +155,95 @@ def apply_chase_q(res: ChaseResult, z: jax.Array, bw: int,
 
     zp = lax.fori_loop(0, nsweeps, step, zp)
     return zp[:n]
+
+
+def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
+    """Stagger-4 pipelined bulge chasing (the multi-bulge variant).
+
+    Sweeps start 4 chase steps apart; at global step tau the active
+    (sweep, position) pairs are ``t_j = (tau mod 4) + 4j``,
+    ``c_j = tau//4 - j`` whose windows sit a uniform ``4*bw - 1`` rows
+    apart — always disjoint (any reordering relative to the sequential
+    schedule only swaps commuting window-disjoint reflectors, so the
+    computed reflectors are IDENTICAL to the sequential ones and
+    :func:`apply_chase_q` applies unchanged).  Each step gathers all
+    active windows as one batched (W, bw, 3bw+1) tile, applies batched
+    two-sided rank-1 updates, and scatters back: ~n^2/(2 bw) sequential
+    chases collapse into ``4n + T`` batched steps.
+
+    Dead lanes (pipeline fill/drain) are pointed at an always-zero scratch
+    corner of the padded work matrix; their reflectors are exactly zero so
+    the writes are value-preserving no-ops.
+    """
+    n = band.shape[0]
+    dtype = band.dtype
+    b = bw
+    if n <= 2 or bw <= 1:
+        return _band_to_tridiag_seq(band, bw)
+    pad = 5 * b
+    T = n // b + 2
+    nW = (T + 3) // 4 + 1
+    win = 3 * b + 1
+    w = jnp.zeros((n + 2 * pad, n + 2 * pad), dtype)
+    w = lax.dynamic_update_slice(w, band, (pad, pad))
+    jarr = jnp.arange(nW)
+    boff = jnp.arange(b)
+    woff = jnp.arange(win)
+
+    def step(tau, carry):
+        w, HV, HT = carry
+        t = (tau % 4) + 4 * jarr                  # (nW,)
+        c = tau // 4 - jarr
+        live = (c >= 0) & (c <= n - 3) & (t <= T - 1)
+        p = c + 1 + t * b
+        jcol = jnp.where(t == 0, c, p - b)
+        live = live & (p < n - 1) & (jcol < n - 1)
+        r0 = jnp.where(live, pad + p, 0)
+        c0 = jnp.where(live, pad + p - b - 1, 0)
+        xc = jnp.where(live, pad + jcol, 0)
+        rows = r0[:, None] + boff[None, :]        # (nW, b)
+        cols = c0[:, None] + woff[None, :]        # (nW, win)
+        livef = live.astype(dtype)
+
+        # batched Householder, pivot at local row 0
+        x = w[rows, xc[:, None]]                  # (nW, b)
+        tail = x[:, 1:]
+        sigma = jnp.sum(tail * tail, axis=1)
+        zero_tail = sigma == 0
+        alpha = x[:, 0]
+        sgn = jnp.where(alpha >= 0, 1.0, -1.0).astype(dtype)
+        beta = jnp.where(zero_tail, alpha,
+                         -sgn * jnp.sqrt(alpha * alpha + sigma))
+        denom = jnp.where(zero_tail, 1.0, alpha - beta).astype(dtype)
+        lv = jnp.logical_and(jnp.logical_not(zero_tail), live).astype(dtype)
+        v = jnp.concatenate([lv[:, None], tail / denom[:, None] *
+                             lv[:, None]], axis=1)          # (nW, b)
+        tau_h = lv * jnp.where(zero_tail, 0.0,
+                               (beta - alpha) /
+                               jnp.where(beta == 0, 1.0, beta))
+
+        # two-sided update on the batched disjoint windows
+        tile_r = w[rows[:, :, None], cols[:, None, :]]      # (nW, b, win)
+        coef = jnp.einsum("wb,wbc->wc", v, tile_r) * tau_h[:, None]
+        tile_r = tile_r - v[:, :, None] * coef[:, None, :]
+        w = w.at[rows[:, :, None], cols[:, None, :]].set(tile_r)
+        tile_c = w[cols[:, :, None], rows[:, None, :]]      # (nW, win, b)
+        coef2 = jnp.einsum("wcb,wb->wc", tile_c, v) * tau_h[:, None]
+        tile_c = tile_c - coef2[:, :, None] * v[:, None, :]
+        w = w.at[cols[:, :, None], rows[:, None, :]].set(tile_c)
+
+        c_s = jnp.where(live, c, n)
+        t_s = jnp.minimum(t, T - 1)
+        HV = HV.at[c_s, t_s, :].set(v)
+        HT = HT.at[c_s, t_s].set(tau_h)
+        return (w, HV, HT)
+
+    HV0 = jnp.zeros((n + 1, T, b), dtype)
+    HT0 = jnp.zeros((n + 1, T), dtype)
+    tau_max = 4 * (n - 3) + T
+    w, HV, HT = lax.fori_loop(0, tau_max, step, (w, HV0, HT0))
+    core = lax.dynamic_slice(w, (pad, pad), (n, n))
+    d = jnp.diagonal(core)
+    e = jnp.diagonal(core, -1)
+    return ChaseResult(d=d, e=e, HV=HV[:n], HT=HT[:n],
+                       bw=jnp.asarray(bw, jnp.int32))

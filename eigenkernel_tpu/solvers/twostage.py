@@ -24,9 +24,9 @@ def _j_to_band(a, bw, mesh):
     return bandlib.to_band(a, bw=bw, mesh=mesh)
 
 
-@partial(jax.jit, static_argnames=("bw",))
-def _j_band_to_tridiag(band, bw):
-    return bulgelib.band_to_tridiag(band, bw=bw)
+@partial(jax.jit, static_argnames=("bw", "schedule"))
+def _j_band_to_tridiag(band, bw, schedule):
+    return bulgelib.band_to_tridiag(band, bw=bw, schedule=schedule)
 
 
 @partial(jax.jit, static_argnames=("bw", "mesh"))
@@ -38,10 +38,13 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh):
 def sep_two_stage(ctx, a: jax.Array, n_vec: int):
     from eigenkernel_tpu.solvers.pipelines import _j_tridiag_eigh, _run
 
+    import os
+
     bw = ctx.block_size
+    schedule = os.environ.get("EK_CHASE", "sequential")
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh)
     chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
-                 band_res.band, bw)
+                 band_res.band, bw, schedule)
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 chase.d, chase.e, n_vec, ctx.mesh)
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,

@@ -168,3 +168,21 @@ def test_bulge_chase():
     Tm = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
     assert np.abs(Q @ Q.T - np.eye(n)).max() < 1e-13
     assert np.abs(Q @ Tm @ Q.T - A).max() < 1e-12
+
+
+def test_bulge_chase_wavefront_matches_sequential():
+    from eigenkernel_tpu.ops.bulge import (
+        band_to_tridiag, band_to_tridiag_wavefront)
+
+    rng = np.random.default_rng(9)
+    n, bw = 120, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    A = np.where(np.abs(i - j) <= bw, A, 0.0)
+    r1 = band_to_tridiag(jnp.asarray(A), bw)
+    r2 = band_to_tridiag_wavefront(jnp.asarray(A), bw)
+    assert np.abs(np.array(r1.d) - np.array(r2.d)).max() < 1e-11
+    assert np.abs(np.array(r1.e) - np.array(r2.e)).max() < 1e-11
+    assert np.abs(np.array(r1.HV) - np.array(r2.HV)).max() < 1e-11
+    assert np.abs(np.array(r1.HT) - np.array(r2.HT)).max() < 1e-11

@@ -29,9 +29,14 @@ def _j_band_to_tridiag(band, bw, schedule):
     return bulgelib.band_to_tridiag(band, bw=bw, schedule=schedule)
 
 
-@partial(jax.jit, static_argnames=("bw", "mesh"))
-def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh):
-    z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=mesh)
+@partial(jax.jit, static_argnames=("bw", "mesh", "method"))
+def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
+    if method == "pallas":
+        from eigenkernel_tpu.ops.pallas_backtransform import (
+            apply_chase_q_pallas)
+        z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
+    else:
+        z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=mesh)
     return bandlib.apply_band_q(band_res, z, bw=bw, mesh=mesh)
 
 
@@ -47,6 +52,10 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                  band_res.band, bw, schedule)
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 chase.d, chase.e, n_vec, ctx.mesh)
+    bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
+    if bt_method == "auto":
+        bt_method = "pallas" if jax.default_backend() not in ("cpu",) \
+            else "xla"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
-             band_res, chase, z, bw, ctx.mesh)
+             band_res, chase, z, bw, ctx.mesh, bt_method)
     return w, z

@@ -63,3 +63,21 @@ def test_tridiag_solve_pallas():
     for j in range(k):
         r = (T - float(lam[j]) * np.eye(n)) @ x[:, j] - np.array(b)[:, j]
         assert np.abs(r).max() < 1e-9
+
+
+def test_apply_chase_q_pallas():
+    from eigenkernel_tpu.ops.bulge import apply_chase_q, band_to_tridiag
+    from eigenkernel_tpu.ops.pallas_backtransform import apply_chase_q_pallas
+
+    rng = np.random.default_rng(2)
+    n, bw = 96, 8
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    A = np.where(np.abs(i - j) <= bw, A, 0.0)
+    res = band_to_tridiag(jnp.asarray(A), bw)
+    z = jnp.asarray(rng.standard_normal((n, 33)))
+    ref = np.array(apply_chase_q(res, z, bw))
+    out = np.array(apply_chase_q_pallas(res.HV, res.HT, z, bw,
+                                        interpret=True))
+    assert np.abs(out - ref).max() < 1e-13

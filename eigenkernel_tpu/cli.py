@@ -162,12 +162,19 @@ def main(argv=None) -> int:
 
     profile_cm = jax.profiler.trace(arg.profile_dir) if arg.profile_dir \
         else contextlib.nullcontext()
-    with profile_cm:
-        pairs = solve(a_dense, b_dense, solver=arg.solver_type,
-                      n_vec=arg.n_vec if spec.selecting else None,
-                      mesh=mesh, block_size=arg.block_size, log=log,
-                      dtype="mixed" if arg.dtype == "mixed" else None)
-        jax.block_until_ready((pairs.values, pairs.vectors))
+    try:
+        with profile_cm:
+            pairs = solve(a_dense, b_dense, solver=arg.solver_type,
+                          n_vec=arg.n_vec if spec.selecting else None,
+                          mesh=mesh, block_size=arg.block_size, log=log,
+                          dtype="mixed" if arg.dtype == "mixed" else None)
+            jax.block_until_ready((pairs.values, pairs.vectors))
+    except Exception as exc:
+        # terminate() analog (processes.f90:122-139): dump accumulated
+        # events, then fail with a coherent message.
+        log.print_events(file=sys.stderr)
+        print(f"[Error] eigen_solver failed: {exc}", file=sys.stderr)
+        return 1
     log.add_event("main:eigen_solver", time.time() - t0)
 
     if spec.selecting:

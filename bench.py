@@ -42,6 +42,11 @@ def main() -> None:
     solver = os.environ.get("EK_BENCH_SOLVER", "scalapack")
     block = int(os.environ.get("EK_BENCH_BLOCK", "128"))
     n_vec = int(os.environ.get("EK_BENCH_NVEC", "0")) or None  # selecting
+    # Until the Pallas kernels are compile-validated on this hardware,
+    # default the bench to the proven XLA scan paths (override via env).
+    os.environ.setdefault("EK_STURM", "scan")
+    os.environ.setdefault("EK_SOLVE", "scan")
+    os.environ.setdefault("EK_BACKTRANSFORM", "xla")
 
     import jax
 

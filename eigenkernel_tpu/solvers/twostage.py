@@ -24,19 +24,33 @@ def _j_to_band(a, bw, mesh):
     return bandlib.to_band(a, bw=bw, mesh=mesh)
 
 
-@partial(jax.jit, static_argnames=("bw", "schedule"))
-def _j_band_to_tridiag(band, bw, schedule):
+@partial(jax.jit, static_argnames=("bw", "schedule", "mesh"))
+def _j_band_to_tridiag(band, bw, schedule, mesh):
+    # The chase is O(n^2 bw) window-local work — on a mesh it runs
+    # replicated (every device redundantly, zero communication); leaving it
+    # sharded would turn every window update into a cross-device scatter.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        band = jax.lax.with_sharding_constraint(
+            band, NamedSharding(mesh, P()))
     return bulgelib.band_to_tridiag(band, bw=bw, schedule=schedule)
 
 
 @partial(jax.jit, static_argnames=("bw", "mesh", "method"))
 def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
+    if mesh is not None:
+        # chase application is row-window-local: replicate (see above);
+        # the subsequent stage-1 WY GEMMs re-shard.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        z = jax.lax.with_sharding_constraint(z, NamedSharding(mesh, P()))
     if method == "pallas":
         from eigenkernel_tpu.ops.pallas_backtransform import (
             apply_chase_q_pallas)
         z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
     else:
-        z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=mesh)
+        z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=None)
     return bandlib.apply_band_q(band_res, z, bw=bw, mesh=mesh)
 
 
@@ -49,7 +63,7 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
     schedule = os.environ.get("EK_CHASE", "sequential")
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh)
     chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
-                 band_res.band, bw, schedule)
+                 band_res.band, bw, schedule, ctx.mesh)
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 chase.d, chase.e, n_vec, ctx.mesh)
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")

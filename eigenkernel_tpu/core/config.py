@@ -248,7 +248,7 @@ def validate_args(arg: Args) -> None:
         raise ArgumentError("validate_args: -n out of range")
 
     for lo, hi in arg.printed_vecs_ranges:
-        if lo < 0 or hi < 0 or hi > arg.n_vec or lo > hi:
+        if lo < 1 or hi < 1 or hi > arg.n_vec or lo > hi:
             raise ArgumentError(
                 "validate_args: Specified numbers with -p option are not valid")
     if arg.n_check_vec < 0 or arg.n_check_vec > arg.n_vec:

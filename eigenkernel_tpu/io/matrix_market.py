@@ -134,7 +134,7 @@ def _read_numpy(filename: str, info: MatrixInfo) -> SparseMatrix:
             cols = data[:, 1].astype(np.int64) - 1
             vals = data[:, 2].astype(np.float64)
     else:  # 'array': dense, column-major, full or lower triangle
-        vals_all = np.fromstring(body, dtype=np.float64, sep="\n") \
+        vals_all = np.fromiter(body.split(), dtype=np.float64) \
             if body.strip() else np.zeros(0)
         n, m = info.rows, info.cols
         if info.symm == "general":

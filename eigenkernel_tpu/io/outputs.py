@@ -58,6 +58,8 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
     n = vecs.shape[0]
     for lo, hi in ranges:
         for j in range(lo, hi + 1):
+            if j < 1:  # 1-based indices; j=0 would alias the last column
+                raise ValueError(f"eigenvector index {j} is not 1-based")
             col = vecs[:, j - 1].astype(np.float64)
             path = os.path.join(out_dir, f"{j:08d}.dat")
             if binary:

@@ -135,7 +135,9 @@ def bisect_eigenvalues(d: jax.Array, e: jax.Array, indices: jax.Array,
 
     method = method or os.environ.get("EK_STURM", "auto")
     if method == "auto":
-        method = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+        # Pallas kernels are TPU-only; any other accelerator backend would
+        # fail to lower them, so gate strictly on tpu.
+        method = "pallas" if jax.default_backend() == "tpu" else "scan"
     if method == "pallas":
         from eigenkernel_tpu.ops.pallas_sturm import sturm_bisect
 
@@ -298,7 +300,7 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
 
     method = os.environ.get("EK_SOLVE", "auto")
     if method == "auto":
-        method = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+        method = "pallas" if jax.default_backend() == "tpu" else "scan"
     solver = tridiag_solve_shifted
     if method == "pallas":
         from eigenkernel_tpu.ops.pallas_solve import tridiag_solve_pallas

@@ -32,6 +32,39 @@ from eigenkernel_tpu.solvers import pipelines as pl
 from eigenkernel_tpu.solvers.registry import get_spec
 
 
+@partial(jax.jit, static_argnames=("n_pad", "eye", "sharding", "dtype"))
+def _j_pad_device(x, n_pad, eye, sharding, dtype):
+    """Pad an on-device matrix to (n_pad, n_pad) without a host round-trip.
+
+    ``eye=True`` puts ones on the padding diagonal (B-matrix padding)."""
+    n = x.shape[0]
+    out = jnp.zeros((n_pad, n_pad), dtype)
+    out = jax.lax.dynamic_update_slice(out, x.astype(dtype), (0, 0))
+    if eye and n_pad > n:
+        idx = jnp.arange(n_pad)
+        out = out + jnp.diag((idx >= n).astype(dtype))
+    if sharding is not None:
+        out = jax.lax.with_sharding_constraint(out, sharding)
+    return out
+
+
+def _pad_place(x, n: int, n_pad: int, dtype, sharding, eye: bool):
+    """Pad + place one operand. Device inputs are padded on device (zero
+    O(n^2) device<->host traffic — the reference's rank-0-read+bcast path
+    only applies to host inputs); host inputs are padded in numpy then
+    transferred once."""
+    if isinstance(x, jax.Array):
+        return _j_pad_device(x, n_pad=n_pad, eye=eye, sharding=sharding,
+                             dtype=dtype)
+    x_host = np.asarray(x, dtype=dtype)
+    pad = np.zeros((n_pad, n_pad), dtype=dtype)
+    pad[:n, :n] = x_host
+    if eye:
+        for i in range(n, n_pad):
+            pad[i, i] = 1.0
+    return jax.device_put(pad, sharding)
+
+
 def _pick_gemm_block(n_pad: int, panel: int, target: int = 256) -> int:
     """Largest multiple of ``panel`` dividing ``n_pad``, at most ~target."""
     best = panel
@@ -72,6 +105,11 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         # mixed precision: fast f32 pipeline + f64 Newton refinement
         # (ops/refine.py) — f64 is software-emulated on TPU, so only the
         # three refinement GEMMs pay the f64 cost.
+        if jnp.zeros((), jnp.float64).dtype != jnp.dtype(jnp.float64):
+            raise ValueError(
+                "dtype='mixed' requires jax_enable_x64=True; without it the "
+                "f64 refinement operands silently downcast to f32 and the "
+                "Newton refinement is a no-op")
         dtype = jnp.float32
     dtype = dtype or (a.dtype if hasattr(a, "dtype") and
                       np.dtype(a.dtype).kind == "f" else jnp.float64)
@@ -90,19 +128,14 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
                            gemm_block=gemm_block, log=log)
 
     # --- pad + place (distribute_global_sparse_matrix / bcast analog)
-    a_host = np.asarray(jax.device_get(a), dtype=np.dtype(dtype))
-    a_pad = np.zeros((n_pad, n_pad), dtype=a_host.dtype)
-    a_pad[:n, :n] = a_host
+    np_dtype = np.dtype(dtype)
     sharding = meshlib.mat_sharding(mesh) if mesh is not None else None
-    a_dev = jax.device_put(a_pad, sharding)
+    a_dev = _pad_place(a, n, n_pad, np_dtype, sharding, eye=False)
 
     if b is None:
         w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, spec.core)
     else:
-        b_host = np.asarray(jax.device_get(b), dtype=a_host.dtype)
-        b_pad = np.eye(n_pad, dtype=a_host.dtype)
-        b_pad[:n, :n] = b_host
-        b_dev = jax.device_put(b_pad, sharding)
+        b_dev = _pad_place(b, n, n_pad, np_dtype, sharding, eye=True)
         w, z = pl.generalized_pipeline(ctx, a_dev, b_dev, n_vec, n,
                                        spec.core, spec.reduction)
 
@@ -115,14 +148,10 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         # sharding stays valid (V's zero pad rows are invariant under the
         # Newton update, so the padded refinement equals the unpadded one).
         t0 = time.time()
-        a64 = np.zeros((n_pad, n_pad), np.float64)
-        a64[:n, :n] = np.asarray(jax.device_get(a), dtype=np.float64)
-        b64 = None
-        if b is not None:
-            b64 = np.eye(n_pad, dtype=np.float64)
-            b64[:n, :n] = np.asarray(jax.device_get(b), dtype=np.float64)
-            b64 = jax.device_put(b64, sharding)
-        a64 = jax.device_put(a64, sharding)
+        f64 = np.dtype(np.float64)
+        a64 = _pad_place(a, n, n_pad, f64, sharding, eye=False)
+        b64 = _pad_place(b, n, n_pad, f64, sharding, eye=True) \
+            if b is not None else None
         v_pad = jnp.zeros((n_pad, n_vec), vectors.dtype).at[:n, :].set(vectors)
         with jax.default_matmul_precision("highest"):
             values, v_pad = _j_refine(a64, v_pad, b64, ctx_mesh)

@@ -68,8 +68,7 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 chase.d, chase.e, n_vec, ctx.mesh)
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        bt_method = "pallas" if jax.default_backend() not in ("cpu",) \
-            else "xla"
+        bt_method = "pallas" if jax.default_backend() == "tpu" else "xla"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method)
     return w, z

@@ -29,10 +29,13 @@ from eigenkernel_tpu.core.types import EigenPairs
 
 @jax.jit
 def _residual_stats(a, v, w, bv):
-    r = a @ v - bv * w[None, :]
-    norms = jnp.linalg.norm(r, axis=0)
-    a_norm = jnp.linalg.norm(a)
-    return a_norm, jnp.mean(norms) / a_norm, jnp.max(norms) / a_norm
+    # accuracy-critical: TPU lowers f32 matmuls to bf16 passes by default,
+    # which would mask the solver's true residual (CLAUDE.md rule).
+    with jax.default_matmul_precision("highest"):
+        r = a @ v - bv * w[None, :]
+        norms = jnp.linalg.norm(r, axis=0)
+        a_norm = jnp.linalg.norm(a)
+        return a_norm, jnp.mean(norms) / a_norm, jnp.max(norms) / a_norm
 
 
 def eval_residual_norm(a, eigenpairs: EigenPairs, n_check: int,
@@ -42,7 +45,8 @@ def eval_residual_norm(a, eigenpairs: EigenPairs, n_check: int,
     v = eigenpairs.vectors[:, :n_check]
     w = eigenpairs.values[:n_check]
     a = jnp.asarray(a, dtype=v.dtype)
-    bv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
+    with jax.default_matmul_precision("highest"):
+        bv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
     a_norm, ave, mx = _residual_stats(a, v, w, bv)
     return float(a_norm), float(ave), float(mx)
 
@@ -60,8 +64,9 @@ def eval_orthogonality(eigenpairs: EigenPairs, index_start: int,
     """``||offdiag(D^{-1/2} G D^{-1/2})||_F`` with ``G = V^T [B] V`` over
     eigenvector indices [index_start, index_end] (1-based, inclusive)."""
     v = eigenpairs.vectors[:, index_start - 1:index_end]
-    gv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
-    g = v.T @ gv
+    with jax.default_matmul_precision("highest"):
+        gv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
+        g = v.T @ gv
     return float(_ortho_stat(g))
 
 
@@ -78,5 +83,6 @@ def get_ipratios(eigenpairs: EigenPairs, b=None):
     import numpy as np
 
     v = eigenpairs.vectors
-    gv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
+    with jax.default_matmul_precision("highest"):
+        gv = (jnp.asarray(b, dtype=v.dtype) @ v) if b is not None else v
     return np.asarray(jax.device_get(_ipr(v, gv)))

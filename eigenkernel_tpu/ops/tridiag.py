@@ -280,12 +280,26 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
     vectors is None when ``want_vectors`` is False.  ``n_vec`` selects the
     lowest part of the spectrum (pdsyevx-analog selecting path).
     """
+    import os
+
     n, dtype = d.shape[0], d.dtype
     k = n if n_vec is None else int(n_vec)
     if n <= 8:
         from eigenkernel_tpu.ops.householder import tridiag_matrix
         w, z = jnp.linalg.eigh(tridiag_matrix(d, e))
         return w[:k], (z[:, :k] if want_vectors else None)
+
+    # Core selection mirrors the reference: divide & conquer (pdstedc
+    # analog, ops/dc.py) for the full spectrum, bisection + inverse
+    # iteration (pdsyevx analog) when selecting a small part or when only
+    # eigenvalues are wanted.
+    core = os.environ.get("EK_TRIDIAG", "auto")
+    if core == "auto":
+        core = "dc" if (want_vectors and 2 * k >= n) else "bisect"
+    if core == "dc" and want_vectors:
+        from eigenkernel_tpu.ops.dc import tridiag_dc
+        w, z = tridiag_dc(d, e, mesh=mesh)
+        return w[:k], z[:, :k]
 
     lam = bisect_eigenvalues(d, e, jnp.arange(k))
     if not want_vectors:

@@ -46,7 +46,7 @@ def main() -> None:
     # default the bench to the proven XLA scan paths (override via env).
     os.environ.setdefault("EK_STURM", "scan")
     os.environ.setdefault("EK_SOLVE", "scan")
-    os.environ.setdefault("EK_BACKTRANSFORM", "xla")
+    os.environ.setdefault("EK_BACKTRANSFORM", "blocked")
 
     import jax
 

@@ -157,6 +157,85 @@ def apply_chase_q(res: ChaseResult, z: jax.Array, bw: int,
     return zp[:n]
 
 
+def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
+                          group: int = 0,
+                          mesh: Optional[Mesh] = None) -> jax.Array:
+    """``z <- Q2 z`` with g consecutive sweeps WY-grouped (ELPA2's trick).
+
+    The unblocked path reads the whole trailing z block once per sweep —
+    O(n^2 k) memory traffic.  Here ``group`` consecutive sweeps are fused:
+    at band position t their reflectors live in a (bw+g-1)-row window,
+    shifted one row per sweep.  Processing positions in ASCENDING t order
+    (and sweeps newest-first inside a position) preserves the relative
+    order of every overlapping reflector pair — adjacent-position overlaps
+    (c',t) vs (c,t+1) only exist for c < c' < c+2bw and the original
+    schedule applies (c',t) first — so the product is EXACTLY the same Q2.
+
+    Per window the reversed product is applied in compact form
+
+        P = H_{g-1} ... H_0 = I - Y M^{-1} Y^T,
+        M = diag(1/tau) + tril(Y^T Y, -1)
+
+    (M^{-1} is the transpose of the LAPACK dlarft T factor of the forward
+    product), i.e. one small triangular solve plus two (bw+g-1, k) GEMMs —
+    memory traffic drops to ~n^2 k (1/g + 1/bw).
+    """
+    n, k = z.shape
+    b = bw
+    T = res.HV.shape[1]
+    if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
+        return z
+    # g > bw would create non-adjacent-position overlaps inside a group,
+    # which the ascending-t order does not protect — clamp.
+    g = min(group if group > 0 else 32, b)
+    nsweeps = n - 2
+    n_groups = -(-nsweeps // g)
+    L = b + g - 1
+    dtype = z.dtype
+
+    # pad the sweep axis in FRONT so the oldest group's slice start is
+    # always valid (zero reflectors = identity)
+    HVp = jnp.concatenate([jnp.zeros((g, T, b), dtype), res.HV[:n]], axis=0)
+    HTp = jnp.concatenate([jnp.zeros((g, T), dtype), res.HT[:n]], axis=0)
+
+    top = g + 1
+    padz = (T + 2) * b + g
+    zp = jnp.zeros((n + top + padz, k), dtype)
+    zp = lax.dynamic_update_slice(zp, z, (top, 0))
+
+    r_arr = jnp.arange(L)
+    j_arr = jnp.arange(g)
+    # embedding index: Y[r, j] = hv_desc[j, r - (g-1-j)]
+    emb_idx = r_arr[:, None] - (g - 1) + j_arr[None, :]
+    emb_ok = (emb_idx >= 0) & (emb_idx < b)
+    emb_idx = jnp.clip(emb_idx, 0, b - 1)
+    eye_g = jnp.eye(g, dtype=dtype)
+
+    def step(s, zp):
+        G = s // T
+        t = s % T
+        c0 = nsweeps - 1 - G * g
+        # sweeps c0-g+1 .. c0 at position t, newest (c0) first
+        hv = lax.dynamic_slice(HVp, (c0 + 1, t, 0), (g, 1, b))[:, 0, :]
+        ht = lax.dynamic_slice(HTp, (c0 + 1, t), (g, 1))[:, 0]
+        hv_desc = hv[::-1]                      # application order j=0 first
+        ht_desc = ht[::-1]
+        Y = jnp.where(emb_ok, jnp.take_along_axis(hv_desc.T, emb_idx,
+                                                  axis=0), 0.0)   # (L, g)
+        gram = Y.T @ Y
+        tau_safe = jnp.where(ht_desc == 0, 1.0, ht_desc)
+        M = jnp.tril(gram, -1) + jnp.diag(1.0 / tau_safe)
+        row0 = c0 - g + 2 + t * b + top          # window start in zp
+        zw = lax.dynamic_slice(zp, (row0, 0), (L, k))
+        w1 = Y.T @ zw
+        w2 = jax.scipy.linalg.solve_triangular(M, w1, lower=True)
+        zw = zw - Y @ w2
+        return lax.dynamic_update_slice(zp, zw, (row0, 0))
+
+    zp = lax.fori_loop(0, n_groups * T, step, zp)
+    return zp[top:top + n]
+
+
 def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
     """Stagger-4 pipelined bulge chasing (the multi-bulge variant).
 

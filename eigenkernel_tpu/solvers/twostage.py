@@ -49,6 +49,10 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
         from eigenkernel_tpu.ops.pallas_backtransform import (
             apply_chase_q_pallas)
         z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
+    elif method == "blocked":
+        import os
+        g = int(os.environ.get("EK_BT_GROUP", "0"))
+        z = bulgelib.apply_chase_q_blocked(chase_res, z, bw=bw, group=g)
     else:
         z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=None)
     return bandlib.apply_band_q(band_res, z, bw=bw, mesh=mesh)
@@ -68,7 +72,10 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 chase.d, chase.e, n_vec, ctx.mesh)
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        bt_method = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # WY-grouped sweeps (ELPA2-style): ~g x less memory traffic than
+        # the per-sweep path; the Pallas kernel stays opt-in until
+        # hardware-validated.
+        bt_method = "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method)
     return w, z

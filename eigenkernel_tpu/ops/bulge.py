@@ -60,19 +60,66 @@ def _house_pivot0(x: jax.Array):
 
 
 def band_to_tridiag(band: jax.Array, bw: int,
-                    schedule: str = "sequential") -> ChaseResult:
+                    schedule: str = "sequential",
+                    mesh: Optional[Mesh] = None) -> ChaseResult:
     """Reduce a symmetric band matrix (semibandwidth bw) to tridiagonal.
+
+    ``band`` may be mesh-sharded dense: only the O(n*bw) banded extraction
+    crosses the sharded->replicated boundary — the chase itself carries no
+    O(n^2) state (see :func:`_to_banded`).
 
     schedule='wavefront' runs the stagger-4 pipelined variant
     (:func:`band_to_tridiag_wavefront`) — same reflectors, ~8x fewer
     sequential steps.
     """
     if schedule == "wavefront":
-        return band_to_tridiag_wavefront(band, bw)
-    return _band_to_tridiag_seq(band, bw)
+        return band_to_tridiag_wavefront(band, bw, mesh=mesh)
+    return _band_to_tridiag_seq(band, bw, mesh=mesh)
 
 
-def _band_to_tridiag_seq(band: jax.Array, bw: int) -> ChaseResult:
+def _to_banded(band: jax.Array, b: int) -> jax.Array:
+    """Extract banded storage from a dense symmetric band matrix.
+
+    Returns wb (n, 4b+1) with wb[i, dd] = band[i, i + dd - 2b] — the chase
+    windows only ever touch diagonals -2b..2b, so this O(n*b) array is the
+    WHOLE chase state (the dense (n+2pad)^2 work matrix of the first
+    design replicated O(n^2) per device; this is what lets stage 2 scale).
+    """
+    n = band.shape[0]
+    off = 2 * b
+    rows = jnp.arange(n)[:, None]
+    cols = rows + jnp.arange(4 * b + 1)[None, :] - off
+    valid = (cols >= 0) & (cols < n)
+    return jnp.where(valid, band[rows, jnp.clip(cols, 0, n - 1)], 0.0)
+
+
+def _banded_state(band: jax.Array, b: int,
+                  mesh: Optional[Mesh]) -> jax.Array:
+    from jax.sharding import PartitionSpec as P
+
+    wbc = _to_banded(band, b)
+    if mesh is not None:
+        wbc = _wsc(wbc, mesh, spec=P())     # replicate the O(n*bw) state
+    return wbc
+
+
+def _shard_chase_store(HV: jax.Array, HT: jax.Array,
+                       mesh: Optional[Mesh]):
+    """Pin the O(n^2) reflector store sharded over the sweep axis so no
+    device materializes it whole between pipeline stages."""
+    if mesh is None:
+        return HV, HT
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    if HV.shape[0] % mesh.shape[ax] == 0:
+        HV = _wsc(HV, mesh, spec=P(ax, None, None))
+        HT = _wsc(HT, mesh, spec=P(ax, None))
+    return HV, HT
+
+
+def _band_to_tridiag_seq(band: jax.Array, bw: int,
+                         mesh: Optional[Mesh] = None) -> ChaseResult:
     n = band.shape[0]
     dtype = band.dtype
     b = bw
@@ -84,43 +131,57 @@ def _band_to_tridiag_seq(band: jax.Array, bw: int) -> ChaseResult:
                            jnp.asarray(bw, jnp.int32))
     pad = 3 * b + 2
     T = n // b + 2
-    w = jnp.zeros((n + 2 * pad, n + 2 * pad), dtype)
-    w = lax.dynamic_update_slice(w, band, (pad, pad))
+    W = 4 * b + 1
+    off = 2 * b
+    wb = jnp.zeros((n + 2 * pad, W), dtype)
+    wb = lax.dynamic_update_slice(wb, _banded_state(band, b, mesh), (pad, 0))
     win = 3 * b + 1
+    # static parallelogram views: A[p+i, p-b-1+j] = rowblk[i, j-i+b-1],
+    # A[p-b-1+i, p+j] = colblk[i, j-i+3b+1] — all indices in [0, 4b].
+    ii = jnp.arange(b)[:, None]
+    jj = jnp.arange(win)[None, :]
+    didx_a = jj - ii + b - 1                      # (b, win)
+    i2 = jnp.arange(win)[:, None]
+    j2 = jnp.arange(b)[None, :]
+    didx_b = j2 - i2 + 3 * b + 1                  # (win, b)
 
     def sweep(c, carry):
-        w, HV, HT = carry
+        wb, HV, HT = carry
 
         def chase(t, inner):
-            w, HVc, HTc = inner
+            wb, HVc, HTc = inner
             p = c + 1 + t * b
             jcol = jnp.where(t == 0, c, p - b)
-            x = lax.dynamic_slice(w, (pad + p, pad + jcol), (b, 1))[:, 0]
+            rowblk = lax.dynamic_slice(wb, (pad + p, 0), (b, W))
+            dx = (jcol - p + off) - jnp.arange(b)
+            x = jnp.take_along_axis(rowblk, dx[:, None], axis=1)[:, 0]
             v, tau = _house_pivot0(x)
-            # two-sided update on the bw x (3bw+1) window around p
-            asub = lax.dynamic_slice(w, (pad + p, pad + p - b - 1), (b, win))
+            asub = jnp.take_along_axis(rowblk, didx_a, axis=1)
             asub = asub - tau * jnp.outer(v, v @ asub)
-            w = lax.dynamic_update_slice(w, asub, (pad + p, pad + p - b - 1))
-            bsub = lax.dynamic_slice(w, (pad + p - b - 1, pad + p), (win, b))
+            rowblk = rowblk.at[ii, didx_a].set(asub)
+            wb = lax.dynamic_update_slice(wb, rowblk, (pad + p, 0))
+            colblk = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
+            bsub = jnp.take_along_axis(colblk, didx_b, axis=1)
             bsub = bsub - tau * jnp.outer(bsub @ v, v)
-            w = lax.dynamic_update_slice(w, bsub, (pad + p - b - 1, pad + p))
+            colblk = colblk.at[i2, didx_b].set(bsub)
+            wb = lax.dynamic_update_slice(wb, colblk, (pad + p - b - 1, 0))
             HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
             HTc = HTc.at[t].set(tau)
-            return (w, HVc, HTc)
+            return (wb, HVc, HTc)
 
         hvc0 = jnp.zeros((T, b), dtype)
         htc0 = jnp.zeros((T,), dtype)
-        w, HVc, HTc = lax.fori_loop(0, T, chase, (w, hvc0, htc0))
+        wb, HVc, HTc = lax.fori_loop(0, T, chase, (wb, hvc0, htc0))
         HV = lax.dynamic_update_slice(HV, HVc[None], (c, 0, 0))
         HT = lax.dynamic_update_slice(HT, HTc[None], (c, 0))
-        return (w, HV, HT)
+        return (wb, HV, HT)
 
     HV0 = jnp.zeros((n, T, b), dtype)
     HT0 = jnp.zeros((n, T), dtype)
-    w, HV, HT = lax.fori_loop(0, n - 2, sweep, (w, HV0, HT0))
-    core = lax.dynamic_slice(w, (pad, pad), (n, n))
-    d = jnp.diagonal(core)
-    e = jnp.diagonal(core, -1)
+    wb, HV, HT = lax.fori_loop(0, n - 2, sweep, (wb, HV0, HT0))
+    d = wb[pad:pad + n, off]
+    e = wb[pad + 1:pad + n, off - 1]
+    HV, HT = _shard_chase_store(HV, HT, mesh)
     return ChaseResult(d=d, e=e, HV=HV, HT=HT, bw=jnp.asarray(bw, jnp.int32))
 
 
@@ -236,7 +297,110 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
     return zp[top:top + n]
 
 
-def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
+def apply_chase_q_blocked_sharded(res: ChaseResult, z: jax.Array, bw: int,
+                                  group: int, mesh: Mesh) -> jax.Array:
+    """Mesh version of :func:`apply_chase_q_blocked` with NO replicated
+    O(n^2) state.
+
+    Layout: z is COLUMN-sharded over every mesh device (each device holds
+    all rows of its column slab, so every window update is local — zero
+    communication on z); the (n, T, bw) reflector store is sharded over
+    the sweep axis across all devices, and each group's (g, T, bw) slab is
+    broadcast exactly once per group via a masked psum — total traffic
+    equals reading the reflectors once, peak per-device reflector memory
+    is n^2/P + one slab.
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n, k = z.shape
+    b = bw
+    T = res.HV.shape[1]
+    if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
+        return z
+    g = min(group if group > 0 else 32, b)
+    nsweeps = n - 2
+    axes = tuple(mesh.axis_names)
+    nP = 1
+    for a in axes:
+        nP *= mesh.shape[a]
+    n_groups = -(-nsweeps // g)
+    n_groups = -(-n_groups // nP) * nP      # shard the sweep axis evenly
+    S = n_groups * g
+    L = b + g - 1
+    dtype = z.dtype
+
+    front = S - nsweeps                      # zero-reflector front padding
+    HVp = jnp.concatenate(
+        [jnp.zeros((front, T, b), dtype), res.HV[:nsweeps]], axis=0)
+    HTp = jnp.concatenate(
+        [jnp.zeros((front, T), dtype), res.HT[:nsweeps]], axis=0)
+    kp = -(-k // nP) * nP
+    zc = z if kp == k else \
+        jnp.zeros((n, kp), dtype).at[:, :k].set(z)
+
+    top = g + 1
+    padz = (T + 2) * b + g
+    zp = jnp.zeros((n + top + padz, kp), dtype)
+    zp = lax.dynamic_update_slice(zp, zc, (top, 0))
+
+    rows_loc = S // nP
+    k_loc = kp // nP
+    r_arr = jnp.arange(L)
+    j_arr = jnp.arange(g)
+    emb_idx = jnp.clip(r_arr[:, None] - (g - 1) + j_arr[None, :], 0, b - 1)
+    emb_ok = (r_arr[:, None] - (g - 1) + j_arr[None, :] >= 0) & \
+             (r_arr[:, None] - (g - 1) + j_arr[None, :] < b)
+
+    def body(hv_loc, ht_loc, z_loc):
+        me = jnp.int32(0)
+        mult = 1
+        for a in reversed(axes):
+            me = me + lax.axis_index(a) * mult
+            mult *= mesh.shape[a]
+
+        def group_step(G, z_loc):
+            c0 = nsweeps - 1 - G * g
+            gstart = S - (G + 1) * g         # g-aligned, single owner
+            owner = gstart // rows_loc
+            loc0 = gstart - owner * rows_loc
+            hv_blk = lax.dynamic_slice(hv_loc, (loc0, 0, 0), (g, T, b))
+            ht_blk = lax.dynamic_slice(ht_loc, (loc0, 0), (g, T))
+            sel = (me == owner).astype(dtype)
+            hv_blk = lax.psum(hv_blk * sel, axes)   # broadcast from owner
+            ht_blk = lax.psum(ht_blk * sel, axes)
+            hv_desc = hv_blk[::-1]
+            ht_desc = ht_blk[::-1]
+
+            def pos_step(t, z_loc):
+                hv_t = lax.dynamic_slice(hv_desc, (0, t, 0), (g, 1, b))[:, 0]
+                ht_t = lax.dynamic_slice(ht_desc, (0, t), (g, 1))[:, 0]
+                Y = jnp.where(emb_ok,
+                              jnp.take_along_axis(hv_t.T, emb_idx, axis=0),
+                              0.0)
+                gram = Y.T @ Y
+                tau_safe = jnp.where(ht_t == 0, 1.0, ht_t)
+                M = jnp.tril(gram, -1) + jnp.diag(1.0 / tau_safe)
+                row0 = c0 - g + 2 + t * b + top
+                zw = lax.dynamic_slice(z_loc, (row0, 0), (L, k_loc))
+                w2 = jax.scipy.linalg.solve_triangular(M, Y.T @ zw,
+                                                       lower=True)
+                zw = zw - Y @ w2
+                return lax.dynamic_update_slice(z_loc, zw, (row0, 0))
+
+            return lax.fori_loop(0, T, pos_step, z_loc)
+
+        return lax.fori_loop(0, n_groups, group_step, z_loc)
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes, None, None), P(axes, None), P(None, axes)),
+        out_specs=P(None, axes), check_rep=False)(HVp, HTp, zp)
+    return out[top:top + n, :k]
+
+
+def band_to_tridiag_wavefront(band: jax.Array, bw: int,
+                              mesh: Optional[Mesh] = None) -> ChaseResult:
     """Stagger-4 pipelined bulge chasing (the multi-bulge variant).
 
     Sweeps start 4 chase steps apart; at global step tau the active
@@ -258,13 +422,15 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
     dtype = band.dtype
     b = bw
     if n <= 2 or bw <= 1:
-        return _band_to_tridiag_seq(band, bw)
+        return _band_to_tridiag_seq(band, bw, mesh=mesh)
     pad = 5 * b
     T = n // b + 2
     nW = (T + 3) // 4 + 1
     win = 3 * b + 1
-    w = jnp.zeros((n + 2 * pad, n + 2 * pad), dtype)
-    w = lax.dynamic_update_slice(w, band, (pad, pad))
+    W = 4 * b + 1
+    off = 2 * b
+    w = jnp.zeros((n + 2 * pad, W), dtype)
+    w = lax.dynamic_update_slice(w, _banded_state(band, b, mesh), (pad, 0))
     jarr = jnp.arange(nW)
     boff = jnp.arange(b)
     woff = jnp.arange(win)
@@ -284,8 +450,11 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
         cols = c0[:, None] + woff[None, :]        # (nW, win)
         livef = live.astype(dtype)
 
-        # batched Householder, pivot at local row 0
-        x = w[rows, xc[:, None]]                  # (nW, b)
+        # batched Householder, pivot at local row 0; banded storage:
+        # A[r, c] = w[r, c - r + off] (out-of-band reads fill 0, writes
+        # drop — only dead scratch lanes ever go out of range)
+        dxc = xc[:, None] - rows + off            # (nW, b)
+        x = w.at[rows, dxc].get(mode="fill", fill_value=0.0)
         tail = x[:, 1:]
         sigma = jnp.sum(tail * tail, axis=1)
         zero_tail = sigma == 0
@@ -301,15 +470,19 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
                                (beta - alpha) /
                                jnp.where(beta == 0, 1.0, beta))
 
-        # two-sided update on the batched disjoint windows
-        tile_r = w[rows[:, :, None], cols[:, None, :]]      # (nW, b, win)
+        # two-sided update on the batched disjoint windows (banded coords)
+        dr = cols[:, None, :] - rows[:, :, None] + off      # (nW, b, win)
+        tile_r = w.at[rows[:, :, None], dr].get(mode="fill",
+                                                fill_value=0.0)
         coef = jnp.einsum("wb,wbc->wc", v, tile_r) * tau_h[:, None]
         tile_r = tile_r - v[:, :, None] * coef[:, None, :]
-        w = w.at[rows[:, :, None], cols[:, None, :]].set(tile_r)
-        tile_c = w[cols[:, :, None], rows[:, None, :]]      # (nW, win, b)
+        w = w.at[rows[:, :, None], dr].set(tile_r, mode="drop")
+        dc = rows[:, None, :] - cols[:, :, None] + off      # (nW, win, b)
+        tile_c = w.at[cols[:, :, None], dc].get(mode="fill",
+                                                fill_value=0.0)
         coef2 = jnp.einsum("wcb,wb->wc", tile_c, v) * tau_h[:, None]
         tile_c = tile_c - coef2[:, :, None] * v[:, None, :]
-        w = w.at[cols[:, :, None], rows[:, None, :]].set(tile_c)
+        w = w.at[cols[:, :, None], dc].set(tile_c, mode="drop")
 
         c_s = jnp.where(live, c, n)
         t_s = jnp.minimum(t, T - 1)
@@ -321,8 +494,8 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int) -> ChaseResult:
     HT0 = jnp.zeros((n + 1, T), dtype)
     tau_max = 4 * (n - 3) + T
     w, HV, HT = lax.fori_loop(0, tau_max, step, (w, HV0, HT0))
-    core = lax.dynamic_slice(w, (pad, pad), (n, n))
-    d = jnp.diagonal(core)
-    e = jnp.diagonal(core, -1)
-    return ChaseResult(d=d, e=e, HV=HV[:n], HT=HT[:n],
+    d = w[pad:pad + n, off]
+    e = w[pad + 1:pad + n, off - 1]
+    HV, HT = _shard_chase_store(HV[:n], HT[:n], mesh)
+    return ChaseResult(d=d, e=e, HV=HV, HT=HT,
                        bw=jnp.asarray(bw, jnp.int32))

@@ -26,22 +26,28 @@ def _j_to_band(a, bw, mesh):
 
 @partial(jax.jit, static_argnames=("bw", "schedule", "mesh"))
 def _j_band_to_tridiag(band, bw, schedule, mesh):
-    # The chase is O(n^2 bw) window-local work — on a mesh it runs
-    # replicated (every device redundantly, zero communication); leaving it
-    # sharded would turn every window update into a cross-device scatter.
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        band = jax.lax.with_sharding_constraint(
-            band, NamedSharding(mesh, P()))
-    return bulgelib.band_to_tridiag(band, bw=bw, schedule=schedule)
+    # The chase is O(n^2 bw) window-local work that runs replicated (zero
+    # communication) — but its replicated state is only the O(n*bw) banded
+    # extraction, taken directly from the still-sharded dense band matrix
+    # (bulge._to_banded); no O(n^2) array is ever replicated.
+    return bulgelib.band_to_tridiag(band, bw=bw, schedule=schedule,
+                                    mesh=mesh)
 
 
 @partial(jax.jit, static_argnames=("bw", "mesh", "method"))
 def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
+    import os
+
+    g = int(os.environ.get("EK_BT_GROUP", "0"))
+    if method == "blocked" and mesh is not None:
+        # column-sharded z + sweep-sharded reflector store: the chase
+        # application distributes with zero replicated O(n^2) state
+        z = bulgelib.apply_chase_q_blocked_sharded(chase_res, z, bw=bw,
+                                                   group=g, mesh=mesh)
+        return bandlib.apply_band_q(band_res, z, bw=bw, mesh=mesh)
     if mesh is not None:
-        # chase application is row-window-local: replicate (see above);
-        # the subsequent stage-1 WY GEMMs re-shard.
+        # non-blocked paths: chase application is row-window-local and
+        # runs replicated; the subsequent stage-1 WY GEMMs re-shard.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         z = jax.lax.with_sharding_constraint(z, NamedSharding(mesh, P()))
@@ -50,8 +56,6 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
             apply_chase_q_pallas)
         z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
     elif method == "blocked":
-        import os
-        g = int(os.environ.get("EK_BT_GROUP", "0"))
         z = bulgelib.apply_chase_q_blocked(chase_res, z, bw=bw, group=g)
     else:
         z = bulgelib.apply_chase_q(chase_res, z, bw=bw, mesh=None)

@@ -111,10 +111,17 @@ def _shard_chase_store(HV: jax.Array, HT: jax.Array,
         return HV, HT
     from jax.sharding import PartitionSpec as P
 
-    ax = mesh.axis_names[0]
-    if HV.shape[0] % mesh.shape[ax] == 0:
-        HV = _wsc(HV, mesh, spec=P(ax, None, None))
-        HT = _wsc(HT, mesh, spec=P(ax, None))
+    n_dev = 1
+    for a in mesh.axis_names:
+        n_dev *= mesh.shape[a]
+    if HV.shape[0] % n_dev == 0:
+        axes = tuple(mesh.axis_names)
+    elif HV.shape[0] % mesh.shape[mesh.axis_names[0]] == 0:
+        axes = mesh.axis_names[0]
+    else:
+        return HV, HT
+    HV = _wsc(HV, mesh, spec=P(axes, None, None))
+    HT = _wsc(HT, mesh, spec=P(axes, None))
     return HV, HT
 
 
@@ -145,9 +152,7 @@ def _band_to_tridiag_seq(band: jax.Array, bw: int,
     j2 = jnp.arange(b)[None, :]
     didx_b = j2 - i2 + 3 * b + 1                  # (win, b)
 
-    def sweep(c, carry):
-        wb, HV, HT = carry
-
+    def sweep(wb, c):
         def chase(t, inner):
             wb, HVc, HTc = inner
             p = c + 1 + t * b
@@ -172,13 +177,14 @@ def _band_to_tridiag_seq(band: jax.Array, bw: int,
         hvc0 = jnp.zeros((T, b), dtype)
         htc0 = jnp.zeros((T,), dtype)
         wb, HVc, HTc = lax.fori_loop(0, T, chase, (wb, hvc0, htc0))
-        HV = lax.dynamic_update_slice(HV, HVc[None], (c, 0, 0))
-        HT = lax.dynamic_update_slice(HT, HTc[None], (c, 0))
-        return (wb, HV, HT)
+        return wb, (HVc, HTc)
 
-    HV0 = jnp.zeros((n, T, b), dtype)
-    HT0 = jnp.zeros((n, T), dtype)
-    wb, HV, HT = lax.fori_loop(0, n - 2, sweep, (wb, HV0, HT0))
+    # scan (not fori) so the O(n^2) reflector store is a per-sweep ys
+    # OUTPUT — shardable over the sweep axis — rather than a replicated
+    # loop carry
+    wb, (HVs, HTs) = lax.scan(sweep, wb, jnp.arange(n - 2))
+    HV = jnp.concatenate([HVs, jnp.zeros((2, T, b), dtype)], axis=0)
+    HT = jnp.concatenate([HTs, jnp.zeros((2, T), dtype)], axis=0)
     d = wb[pad:pad + n, off]
     e = wb[pad + 1:pad + n, off - 1]
     HV, HT = _shard_chase_store(HV, HT, mesh)
@@ -295,6 +301,111 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
 
     zp = lax.fori_loop(0, n_groups * T, step, zp)
     return zp[top:top + n]
+
+
+def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
+    """One sweep of the sequential chase on banded storage (see
+    :func:`_band_to_tridiag_seq` for the window algebra)."""
+    win = 3 * b + 1
+    ii = jnp.arange(b)[:, None]
+    jj = jnp.arange(win)[None, :]
+    didx_a = jj - ii + b - 1
+    i2 = jnp.arange(win)[:, None]
+    j2 = jnp.arange(b)[None, :]
+    didx_b = j2 - i2 + 3 * b + 1
+
+    def chase(t, inner):
+        wb, HVc, HTc = inner
+        p = c + 1 + t * b
+        jcol = jnp.where(t == 0, c, p - b)
+        rowblk = lax.dynamic_slice(wb, (pad + p, 0), (b, W))
+        dx = (jcol - p + off) - jnp.arange(b)
+        x = jnp.take_along_axis(rowblk, dx[:, None], axis=1)[:, 0]
+        v, tau = _house_pivot0(x)
+        asub = jnp.take_along_axis(rowblk, didx_a, axis=1)
+        asub = asub - tau * jnp.outer(v, v @ asub)
+        rowblk = rowblk.at[ii, didx_a].set(asub)
+        wb = lax.dynamic_update_slice(wb, rowblk, (pad + p, 0))
+        colblk = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
+        bsub = jnp.take_along_axis(colblk, didx_b, axis=1)
+        bsub = bsub - tau * jnp.outer(bsub @ v, v)
+        colblk = colblk.at[i2, didx_b].set(bsub)
+        wb = lax.dynamic_update_slice(wb, colblk, (pad + p - b - 1, 0))
+        HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
+        HTc = HTc.at[t].set(tau)
+        return (wb, HVc, HTc)
+
+    hvc0 = jnp.zeros((T, b), dtype)
+    htc0 = jnp.zeros((T,), dtype)
+    return lax.fori_loop(0, T, chase, (wb, hvc0, htc0))
+
+
+def band_to_tridiag_chunked(band: jax.Array, bw: int,
+                            mesh: Optional[Mesh] = None,
+                            chunks: int = 4) -> ChaseResult:
+    """Host-staged sequential chase: ``chunks`` separate jit calls.
+
+    The in-flight (necessarily replicated — every device runs the same
+    window recurrence) reflector buffer is only n^2/chunks; completed
+    chunks persist SWEEP-SHARDED across the mesh, so peak per-device
+    memory is n^2/chunks + n^2/P instead of n^2.  Also keeps each remote
+    TPU compile small.  Reflectors are bit-identical to the unchunked
+    sequential schedule.
+    """
+    from functools import partial as _partial
+
+    n = band.shape[0]
+    b = bw
+    if n <= 2 or bw <= 1 or chunks <= 1:
+        return _band_to_tridiag_seq(band, bw, mesh=mesh)
+    pad = 3 * b + 2
+    T = n // b + 2
+    W = 4 * b + 1
+    off = 2 * b
+    dtype = band.dtype
+    n_dev = 1
+    if mesh is not None:
+        for a in mesh.axis_names:
+            n_dev *= mesh.shape[a]
+    # equal chunk sizes, divisible by the device count; sweeps beyond
+    # n-3 are exact no-ops (their windows read the zero padding)
+    step = -(-(n - 2) // chunks)
+    step = -(-step // n_dev) * n_dev
+
+    @jax.jit
+    def init(band):
+        wb = jnp.zeros((n + 2 * pad, W), dtype)
+        return lax.dynamic_update_slice(wb, _banded_state(band, b, mesh),
+                                        (pad, 0))
+
+    @_partial(jax.jit, static_argnames=("c0",))
+    def run_chunk(wb, c0):
+        def sweep(wb, c):
+            wb, HVc, HTc = _chunk_sweep_body(wb, c, n, b, T, W, off, pad,
+                                             dtype)
+            return wb, (HVc, HTc)
+
+        wb, (HVs, HTs) = lax.scan(sweep, wb, c0 + jnp.arange(step))
+        HVs, HTs = _shard_chase_store(HVs, HTs, mesh)
+        return wb, HVs, HTs
+
+    wb = init(band)
+    hvs, hts = [], []
+    for i in range(chunks):
+        wb, hvc, htc = run_chunk(wb, i * step)
+        hvs.append(hvc)
+        hts.append(htc)
+    HV = jnp.concatenate(hvs, axis=0)[:n]
+    HT = jnp.concatenate(hts, axis=0)[:n]
+    if HV.shape[0] < n:
+        HV = jnp.concatenate(
+            [HV, jnp.zeros((n - HV.shape[0], T, b), dtype)], axis=0)
+        HT = jnp.concatenate(
+            [HT, jnp.zeros((n - HT.shape[0], T), dtype)], axis=0)
+    HV, HT = _shard_chase_store(HV, HT, mesh)
+    d = wb[pad:pad + n, off]
+    e = wb[pad + 1:pad + n, off - 1]
+    return ChaseResult(d=d, e=e, HV=HV, HT=HT, bw=jnp.asarray(bw, jnp.int32))
 
 
 def apply_chase_q_blocked_sharded(res: ChaseResult, z: jax.Array, bw: int,

@@ -45,7 +45,19 @@ from jax import lax
 from jax.sharding import Mesh
 
 
-def _secular_newton(dc, uc, rho, m, iters):
+def _lane_wsc(x, mesh):
+    """Column(lane)-shard a (terms, lanes) matrix over every mesh device —
+    the secular solve and eigenvector build are embarrassingly parallel
+    over lanes."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, tuple(mesh.axis_names))))
+
+
+def _secular_newton(dc, uc, rho, m, iters, mesh=None):
     """All roots of ``1 + rho * sum_i uc_i^2 / (dc_i - lam)`` at once.
 
     dc, uc: (K,) compacted (active-first, d ascending); m: traced count of
@@ -80,7 +92,7 @@ def _secular_newton(dc, uc, rho, m, iters):
     # anchor at the nearer pole; last interval always anchors left
     right = (fmid < 0) & jnp.logical_not(last)
     anchor = jnp.where(right, d_next, dc)
-    dd = dc[:, None] - anchor[None, :]                     # exact pole gaps
+    dd = _lane_wsc(dc[:, None] - anchor[None, :], mesh)    # exact pole gaps
     lo = jnp.where(right, -0.5 * delta,
                    jnp.where(last & (fmid < 0), 0.5 * delta, 0.0))
     hi = jnp.where(right, 0.0,
@@ -139,12 +151,17 @@ def _secular_newton(dc, uc, rho, m, iters):
     return anchor, mu, dd, right
 
 
-def _merge_one(w1, w2, q1, q2, e_mid, iters):
+def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
     """Merge two solved halves across one coupling element ``e_mid``.
 
     w1, w2: (K2,) ascending eigenvalues of the (pre-adjusted) halves;
     q1, q2: (K2, K2) their eigenvectors; e_mid the subdiagonal joining
     them.  Returns (w, q) of the union, w ascending, q = blkdiag(q1,q2)@S.
+
+    With ``mesh``, the O(K^2) temporaries shard over the lane axis and the
+    assembly GEMMs shard 2D (the pdstedc distribution analog); the O(K)
+    sequential parts (sort, deflation scan, rotation replay) stay
+    replicated.
     """
     K2 = w1.shape[0]
     K = 2 * K2
@@ -214,7 +231,7 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters):
     dc = d2[pi]
     uc = u2[pi]
 
-    anchor, mu, dd, _ = _secular_newton(dc, uc, rho, m, iters)
+    anchor, mu, dd, _ = _secular_newton(dc, uc, rho, m, iters, mesh=mesh)
     jm = jnp.arange(K)
     act = jm < m
     lam_act = anchor + mu
@@ -223,8 +240,8 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters):
     # uhat_i^2 = prod_j (lam_j - dc_i) / (rho * prod_{j!=i} (dc_j - dc_i))
     # paired j<->j so every factor is O(1); pole-adjacent differences use
     # the exact (dd, mu) representation.
-    lam_m_d = mu[None, :] - dd                        # lam_j - dc_i, (K, K)
-    d_m_d = dc[:, None] - dc[None, :]                 # dc_i - dc_j
+    lam_m_d = _lane_wsc(mu[None, :] - dd, mesh)       # lam_j - dc_i, (K, K)
+    d_m_d = _lane_wsc(dc[:, None] - dc[None, :], mesh)  # dc_i - dc_j
     offdiag = (jm[:, None] != jm[None, :])
     valid = offdiag & act[None, :] & act[:, None]
     ratio = jnp.where(valid, lam_m_d / jnp.where(valid, -d_m_d, 1.0), 1.0)
@@ -242,7 +259,7 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters):
     eye = jnp.eye(K, dtype=dtype)
     both_act = act[:, None] & act[None, :]
     S = jnp.where(both_act, S, eye)
-    S = S / jnp.linalg.norm(S, axis=0, keepdims=True)
+    S = _lane_wsc(S / jnp.linalg.norm(S, axis=0, keepdims=True), mesh)
 
     lam_all = jnp.where(act, lam_act, dc)
 
@@ -277,6 +294,14 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters):
     w = lam_all[cperm]
     S_O = S_O[:, cperm]
 
+    if mesh is not None:
+        from eigenkernel_tpu.ops.blocked import _wsc
+        S_O = _wsc(S_O, mesh)
+        q1 = _wsc(q1, mesh)
+        q2 = _wsc(q2, mesh)
+        q = jnp.concatenate([_wsc(q1 @ S_O[:K2, :], mesh),
+                             _wsc(q2 @ S_O[K2:, :], mesh)], axis=0)
+        return w, _wsc(q, mesh)
     q = jnp.concatenate([q1 @ S_O[:K2, :], q2 @ S_O[K2:, :]], axis=0)
     return w, q
 
@@ -342,6 +367,10 @@ def tridiag_dc(d: jax.Array, e: jax.Array,
     w, q = jax.vmap(leaf)(db, eb)                 # (nb, base), (nb, base^2)
 
     # ---- bottom-up merge sweep
+    n_dev = 1
+    if mesh is not None:
+        for a in mesh.axis_names:
+            n_dev *= mesh.shape[a]
     for lvl in range(1, levels + 1):
         K2 = base << (lvl - 1)
         nb = N // (2 * K2)
@@ -349,8 +378,18 @@ def tridiag_dc(d: jax.Array, e: jax.Array,
         q = q.reshape(nb, 2, K2, K2)
         mids = jnp.arange(nb) * (2 * K2) + K2
         e_mid = e_full[mids - 1]
-        w, q = jax.vmap(partial(_merge_one, iters=iters))(
-            w[:, 0], w[:, 1], q[:, 0], q[:, 1], e_mid)
+        if mesh is not None and nb <= 4 and (2 * K2) % n_dev == 0 \
+                and K2 % n_dev == 0:
+            # top levels: few big merges — run them sharded (the flop- and
+            # memory-dominant part of the tree)
+            outs = [_merge_one(w[i, 0], w[i, 1], q[i, 0], q[i, 1],
+                               e_mid[i], iters, mesh=mesh)
+                    for i in range(nb)]
+            w = jnp.stack([o[0] for o in outs])
+            q = jnp.stack([o[1] for o in outs])
+        else:
+            w, q = jax.vmap(partial(_merge_one, iters=iters))(
+                w[:, 0], w[:, 1], q[:, 0], q[:, 1], e_mid)
 
     w = w.reshape(N)[:n]
     q = q.reshape(N, N)[:n, :n]

@@ -70,8 +70,17 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
     bw = ctx.block_size
     schedule = os.environ.get("EK_CHASE", "sequential")
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh)
-    chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
-                 band_res.band, bw, schedule, ctx.mesh)
+    chunks = int(os.environ.get("EK_CHASE_CHUNKS",
+                                "4" if ctx.mesh is not None else "1"))
+    if schedule == "sequential" and chunks > 1:
+        # host-staged chunks: bounds the replicated in-flight reflector
+        # buffer to n^2/chunks (completed chunks persist sweep-sharded)
+        chase = _run(ctx, "sep:band_to_tridiag",
+                     bulgelib.band_to_tridiag_chunked,
+                     band_res.band, bw, ctx.mesh, chunks)
+    else:
+        chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
+                     band_res.band, bw, schedule, ctx.mesh)
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 chase.d, chase.e, n_vec, ctx.mesh)
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")

@@ -1,0 +1,106 @@
+"""Two-stage scaling on the mesh: no replicated O(n^2) side buffers.
+
+VERDICT round-1 item #3: the chase state, the reflector store, and the
+stage-2 back-transform must distribute.  Verified three ways: (a) the
+reflector store persists sweep-sharded across all 8 devices, (b) the
+in-flight chase buffer shrinks with the chunk count (memory_analysis),
+(c) the fully-distributed pipeline still matches scipy.
+
+Set EK_BIG_TESTS=1 to also run the M=2048 end-to-end mesh solve.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eigenkernel_tpu.ops import bulge
+from eigenkernel_tpu.parallel import distribute, make_mesh
+from eigenkernel_tpu.solvers import solve
+
+
+def _band(n, bw, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    return np.triu(np.tril(a, bw), -bw)
+
+
+def test_chase_store_sweep_sharded(mesh8):
+    n, bw = 256, 16
+    band = distribute(_band(n, bw), mesh8)
+    res = bulge.band_to_tridiag_chunked(band, bw=bw, mesh=mesh8, chunks=4)
+    jax.block_until_ready(res.HV)
+    # the O(n^2) reflector store must not be replicated: every device
+    # holds exactly 1/8 of the sweep axis
+    assert len(res.HV.sharding.device_set) == 8
+    shard_rows = {s.data.shape[0] for s in res.HV.addressable_shards}
+    assert shard_rows == {n // 8}
+    # and it carries the same reflectors as the single-device chase
+    ref = bulge.band_to_tridiag(jnp.asarray(_band(n, bw)), bw=bw)
+    assert np.abs(np.asarray(res.HV) - np.asarray(ref.HV)).max() == 0
+
+
+def test_chunked_inflight_memory_scales(mesh8):
+    # the replicated in-flight buffer of one chase chunk must shrink with
+    # the chunk count (this is what bounds per-device memory at M=32k)
+    n, bw = 512, 32
+    from functools import partial
+
+    def temp_bytes(chunks):
+        pad, T, W = 3 * bw + 2, n // bw + 2, 4 * bw + 1
+        step = -(-(n - 2) // chunks)
+        step = -(-step // 8) * 8
+
+        @partial(jax.jit, static_argnames=())
+        def run(wb, c0):
+            def sweep(wb, c):
+                wb, hv, ht = bulge._chunk_sweep_body(
+                    wb, c, n, bw, T, W, 2 * bw, pad, jnp.float64)
+                return wb, (hv, ht)
+            return jax.lax.scan(sweep, wb, c0 + jnp.arange(step))
+
+        wb_s = jax.ShapeDtypeStruct((n + 2 * pad, W), jnp.float64)
+        c0_s = jax.ShapeDtypeStruct((), jnp.int64)
+        ma = run.lower(wb_s, c0_s).compile().memory_analysis()
+        # the reflector chunk is the scan's ys OUTPUT; the banded chase
+        # state (n+2pad, 4bw+1) is a constant-size floor — subtract it
+        wb_bytes = (n + 2 * pad) * W * 8
+        return ma.temp_size_in_bytes + ma.output_size_in_bytes - wb_bytes
+
+    t2, t8 = temp_bytes(2), temp_bytes(8)
+    assert t8 < t2 / 2.5, (t2, t8)
+
+
+def test_sharded_backtransform_matches(mesh8):
+    n, bw, g = 192, 16, 8
+    band_h = _band(n, bw, seed=3)
+    res = bulge.band_to_tridiag(jnp.asarray(band_h), bw=bw)
+    rng = np.random.default_rng(4)
+    z = rng.standard_normal((n, n))
+    z_ref = np.asarray(bulge.apply_chase_q(res, jnp.asarray(z), bw=bw))
+    z_sh = np.asarray(bulge.apply_chase_q_blocked_sharded(
+        res, jnp.asarray(z), bw=bw, group=g, mesh=mesh8))
+    assert np.abs(z_ref - z_sh).max() < 1e-13
+
+
+def test_elpa2_mesh_end_to_end(mesh8, monkeypatch):
+    # full distributed two-stage path (chunked chase + sharded store +
+    # streaming back-transform) vs scipy
+    monkeypatch.delenv("EK_CHASE_CHUNKS", raising=False)
+    n = 160 if not os.environ.get("EK_BIG_TESTS") else 2048
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    l = rng.standard_normal((n, n)) * 0.1
+    b = l @ l.T + n * np.eye(n)
+    p = solve(a, b, solver="general_elpa2", mesh=mesh8, block_size=16)
+    import scipy.linalg as sla
+    w_ref = sla.eigh(a, b, eigvals_only=True)
+    assert np.abs(np.asarray(p.values) - w_ref).max() < 1e-9 * n
+    v = np.asarray(p.vectors)
+    r = a @ v - b @ v * np.asarray(p.values)[None, :]
+    assert np.abs(r).max() / np.linalg.norm(a) < 1e-12

@@ -50,6 +50,12 @@ def main() -> None:
 
     import jax
 
+    plat = os.environ.get("EK_PLATFORM")
+    if plat:
+        # sitecustomize force-selects the axon TPU plugin; env JAX_PLATFORMS
+        # does not override it — the config call does (CPU smoke tests)
+        jax.config.update("jax_platforms", plat)
+
     cache_dir = os.environ.get("EK_CACHE_DIR",
                                os.path.join(os.path.dirname(
                                    os.path.abspath(__file__)), ".jax_cache"))
@@ -96,6 +102,20 @@ def main() -> None:
     resid, orth = _sync_scalar(resid), _sync_scalar(orth)
     stage_times = {e["name"]: round(e["val"], 4) for e in log.events()}
 
+    # model flops -> TFLOP/s and fraction of chip peak (BASELINE.md asks
+    # for >40% of matmul peak at scale; EigenExa self-reports GFLOPS)
+    from eigenkernel_tpu.obs import flops as fl
+    from eigenkernel_tpu.solvers.registry import get_spec
+
+    spec = get_spec(solver)
+    n_pad = p.meta["n_pad"]
+    k = n_vec or n
+    model_fl = fl.pipeline_flops(spec.core, spec.generalized,
+                                 spec.reduction, n_pad, k, block)
+    tflops = model_fl / t_ours / 1e12
+    peak = fl.chip_peak_flops(jax.devices()[0].device_kind, dtype_name)
+    mfu = (model_fl / t_ours / peak) if peak else None
+
     # --- baseline: XLA QDWH eigh
     eigh = jax.jit(jnp.linalg.eigh)
     t0 = time.time()
@@ -115,18 +135,76 @@ def main() -> None:
           f"ours={t_ours:.4f}s (first {compile_s:.1f}s) "
           f"eigh={t_eigh:.4f}s (first {compile_eigh_s:.1f}s) "
           f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={ev_gap:.2e} "
+          f"tflops={tflops:.2f} mfu={mfu if mfu is None else round(mfu, 4)} "
           f"stages={stage_times}",
           file=sys.stderr)
+
+    extra = {}
+    if os.environ.get("EK_BENCH_FULL"):
+        extra = _bench_full(jax, jnp, solve, fl)
 
     tag = f"sym_evp_m{n}_{dtype_name}"
     if n_vec:
         tag += f"_lowest{n_vec}"
-    print(json.dumps({
+    rec = {
         "metric": f"{tag}_time_to_solution",
         "value": round(t_ours, 5),
         "unit": "s",
         "vs_baseline": round(t_eigh / t_ours, 3),
-    }))
+        "tflops": round(tflops, 3),
+        "mfu": None if mfu is None else round(mfu, 4),
+        "resid": float(f"{resid:.3e}"),
+    }
+    if extra:
+        rec["extra"] = extra
+    print(json.dumps(rec))
+
+
+def _bench_full(jax, jnp, solve, fl):
+    """BASELINE.md configs 3 & 4: generalized two-stage M=4096 and the
+    selecting lowest-500 of M=16k (EK_BENCH_FULL=1)."""
+    import numpy as np
+
+    from eigenkernel_tpu.solvers.registry import get_spec
+
+    out = {}
+    rng = np.random.default_rng(1)
+
+    # config 3: M=4096 generalized two-stage (general_elpa2), f32
+    n = int(os.environ.get("EK_BENCH_GEN_N", "4096"))
+    a = rng.standard_normal((n, n))
+    a = ((a + a.T) / 2).astype("float32")
+    l = (rng.standard_normal((n, n)) * 0.1).astype("float32")
+    b = (l @ l.T + n * np.eye(n, dtype="float32")).astype("float32")
+    ad, bd = jnp.asarray(a), jnp.asarray(b)
+    p = solve(ad, bd, solver="general_elpa2", block_size=64)
+    _sync_scalar(p.values)
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        p = solve(ad, bd, solver="general_elpa2", block_size=64)
+        _sync_scalar(p.values + p.vectors[0, :])
+        times.append(time.time() - t0)
+    t_gen = min(times)
+    spec = get_spec("general_elpa2")
+    flops = fl.pipeline_flops(spec.core, True, spec.reduction,
+                              p.meta["n_pad"], n, 64)
+    out["gen_twostage_m4096_s"] = round(t_gen, 4)
+    out["gen_twostage_m4096_tflops"] = round(flops / t_gen / 1e12, 3)
+
+    # config 4: selecting lowest-500 of M=16k standard, f32
+    n = int(os.environ.get("EK_BENCH_SEL_N", "16384"))
+    k = 500
+    a = rng.standard_normal((n, n))
+    a = ((a + a.T) / 2).astype("float32")
+    ad = jnp.asarray(a)
+    p = solve(ad, solver="scalapack_select", n_vec=k, block_size=128)
+    _sync_scalar(p.values)
+    t0 = time.time()
+    p = solve(ad, solver="scalapack_select", n_vec=k, block_size=128)
+    _sync_scalar(p.values + p.vectors[0, :])
+    out[f"select_lowest{k}_m{n}_s"] = round(time.time() - t0, 4)
+    return out
 
 
 if __name__ == "__main__":

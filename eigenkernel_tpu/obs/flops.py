@@ -1,0 +1,129 @@
+"""Model flop counts per pipeline stage + chip peak lookup.
+
+The reference re-logs backend GFLOPS self-reports (EigenExa's
+``!eigen_sx:*_Gflops`` timer entries, solver_eigenexa.f90:120-131; ELPA's
+fwd/solve/back timers, solver_elpa.f90:305-308).  Here every stage gets a
+MODEL flop count (useful arithmetic of the textbook algorithm, not the
+executed-instruction count — uniform-schedule kernels execute more), so
+``log.json`` carries ``!<stage>_Gflops`` events and bench.py can report
+TFLOP/s and fraction-of-peak honestly.
+"""
+
+from __future__ import annotations
+
+
+def cholesky(n: int) -> float:
+    return n ** 3 / 3
+
+
+def invert_triangular(n: int) -> float:
+    return n ** 3 / 3
+
+
+def trmm(n: int, k: int) -> float:
+    """Triangular (n,n) times (n,k): n^2 k madds -> n^2 k flops."""
+    return float(n * n * k)
+
+
+def reduce_elpa(n: int) -> float:
+    # cholesky + invert + U^-T A (trmm) + A U^-1 (trmm)
+    return cholesky(n) + invert_triangular(n) + 2 * trmm(n, n)
+
+
+def reduce_scalapack(n: int) -> float:
+    # cholesky + two triangular solves against (n, n)
+    return cholesky(n) + 2 * trmm(n, n)
+
+
+def tridiagonalize(n: int) -> float:
+    return 4 * n ** 3 / 3
+
+
+def full_to_band(n: int, bw: int) -> float:
+    return 4 * n ** 3 / 3
+
+
+def band_to_tridiag(n: int, bw: int) -> float:
+    # ~n sweeps x (n/bw windows) x two-sided rank-1 on (bw, 3bw) tiles
+    return 12.0 * n * n * bw
+
+
+def tridiag_dc(n: int) -> float:
+    # merge-tree eigenvector GEMMs: sum_l n K_l^2 ~ (4/3) n^3 madds
+    return 8 * n ** 3 / 3
+
+
+def bisect_invit(n: int, k: int, iters: int = 62, invit_steps: int = 3):
+    # Sturm scans: iters x O(n k); inverse iteration: invit x O(n k);
+    # CholQR2: 2 x (2 n k^2)
+    return float(2 * iters * n * k + 10 * invit_steps * n * k
+                 + 4 * n * k * k)
+
+
+def back_transform_one_stage(n: int, k: int) -> float:
+    return 4.0 * n * n * k
+
+
+def back_transform_two_stage(n: int, k: int) -> float:
+    # chase-Q (4 n^2 k) + band-Q (4 n^2 k)
+    return 8.0 * n * n * k
+
+
+def recover(n: int, k: int) -> float:
+    return trmm(n, k)
+
+
+def eigh(n: int) -> float:
+    # dense symmetric eigensolver nominal count (~9 n^3 for QDWH-eig is
+    # implementation-specific; use the LAPACK-style 4/3 n^3 + 4 n^3)
+    return 16 * n ** 3 / 3
+
+
+def pipeline_flops(core: str, generalized: bool, reduction: str,
+                   n: int, k: int, bw: int) -> float:
+    """Total model flops of one named-solver run (padded dim n, n_vec k)."""
+    total = 0.0
+    if generalized:
+        total += reduce_elpa(n) if reduction == "elpa" \
+            else reduce_scalapack(n)
+        total += recover(n, k)
+    full = 2 * k >= n
+    tri_fl = tridiag_dc(n) if full else bisect_invit(n, k)
+    if core == "one_stage":
+        total += tridiagonalize(n) + tri_fl + back_transform_one_stage(n, k)
+    elif core == "two_stage":
+        total += (full_to_band(n, bw) + band_to_tridiag(n, bw) + tri_fl
+                  + back_transform_two_stage(n, k))
+    else:  # eigh
+        total += eigh(n)
+    return total
+
+
+# chip peak dense-matmul TFLOP/s by device_kind substring (bf16 MXU peak
+# for TPUs; f64 is software-emulated and has no meaningful MXU peak)
+_PEAKS = {
+    "v6e": 918e12,
+    "v6": 918e12,
+    "v5p": 459e12,
+    "v5e": 394e12,
+    "v5": 459e12,
+    "v4": 275e12,
+    "v3": 123e12,
+    "v2": 45e12,
+}
+
+
+def chip_peak_flops(device_kind: str, dtype_name: str = "float32"):
+    """Best-effort peak FLOP/s for MFU; None when unknown."""
+    import os
+
+    env = os.environ.get("EK_PEAK_TFLOPS")
+    if env:
+        return float(env) * 1e12
+    kind = device_kind.lower()
+    for key, val in _PEAKS.items():
+        if key in kind:
+            if dtype_name == "float64":
+                return None
+            return val
+    return None

@@ -52,17 +52,25 @@ class SolverContext:
     gemm_block: int = DEFAULT_GEMM_BLOCK
     log: Optional[EventLog] = None
 
-    def tick(self, name: str, t0: float, out: Any) -> None:
+    def tick(self, name: str, t0: float, out: Any,
+             flops: Optional[float] = None) -> None:
         if self.log is not None:
             jax.block_until_ready(out)
-            self.log.add_event(name, time.time() - t0)
+            dt = time.time() - t0
+            self.log.add_event(name, dt)
+            if flops and dt > 0:
+                # backend GFLOPS self-report analog (the reference re-logs
+                # EigenExa's '!'-prefixed Gflops timer entries,
+                # solver_eigenexa.f90:120-131); model flops, see obs/flops
+                self.log.add_event(f"!{name}_Gflops", flops / dt / 1e9)
 
 
-def _run(ctx: SolverContext, name: str, fn: Callable, *args) -> Any:
+def _run(ctx: SolverContext, name: str, fn: Callable, *args,
+         flops: Optional[float] = None) -> Any:
     t0 = time.time()
     with jax.default_matmul_precision("highest"):
         out = fn(*args)
-    ctx.tick(name, t0, out)
+    ctx.tick(name, t0, out, flops=flops)
     return out
 
 
@@ -134,12 +142,19 @@ def _j_sentinelize(a, n_real):
 
 def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
     """pdsytrd + tridiagonal-solve + pdormtr analog (see module doc)."""
+    from eigenkernel_tpu.obs import flops as fl
+
+    n = a.shape[0]
     tri = _run(ctx, "sep:tridiagonalize", _j_tridiagonalize,
-               a, ctx.block_size, ctx.mesh)
+               a, ctx.block_size, ctx.mesh, flops=fl.tridiagonalize(n))
+    full = n_vec * 2 >= n
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
-                tri.d, tri.e, n_vec, ctx.mesh)
+                tri.d, tri.e, n_vec, ctx.mesh,
+                flops=fl.tridiag_dc(n) if full
+                else fl.bisect_invit(n, n_vec))
     z = _run(ctx, "sep:back_transform", _j_apply_q,
-             tri, z, ctx.block_size, ctx.mesh)
+             tri, z, ctx.block_size, ctx.mesh,
+             flops=fl.back_transform_one_stage(n, n_vec))
     return w, z
 
 
@@ -151,7 +166,9 @@ def sep_two_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
 
 def sep_eigh(ctx: SolverContext, a: jax.Array, n_vec: int):
     """XLA QDWH-eig (the library baseline; single-shot jit)."""
-    w, z = _run(ctx, "sep:eigh", _j_eigh, a)
+    from eigenkernel_tpu.obs import flops as fl
+
+    w, z = _run(ctx, "sep:eigh", _j_eigh, a, flops=fl.eigh(a.shape[0]))
     return w[:n_vec], z[:, :n_vec]
 
 
@@ -178,16 +195,22 @@ def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
                          n_vec: int, n_real: int, core: str,
                          reduction_style: str):
     """Generalized EVP: reduce, sentinel-pad, SEP core, recover."""
+    from eigenkernel_tpu.obs import flops as fl
+
+    n = a.shape[0]
     if reduction_style == "elpa":
         a_std, factor = _run(ctx, "solve:reduce_elpa", _j_reduce_elpa,
-                             a, b, ctx.gemm_block, ctx.mesh)
+                             a, b, ctx.gemm_block, ctx.mesh,
+                             flops=fl.reduce_elpa(n))
     else:
         a_std, factor = _run(ctx, "reduce_generalized", _j_reduce_scalapack,
-                             a, b, ctx.gemm_block, ctx.mesh)
+                             a, b, ctx.gemm_block, ctx.mesh,
+                             flops=fl.reduce_scalapack(n))
     a_std = _j_sentinelize(a_std, n_real)
     w, z = SEP_CORES[core](ctx, a_std, n_vec)
     x = _run(ctx, "recovery_generalized", _j_recover,
-             factor, reduction_style, z, ctx.gemm_block, ctx.mesh)
+             factor, reduction_style, z, ctx.gemm_block, ctx.mesh,
+             flops=fl.recover(n, n_vec))
     # x = L^{-T} z is automatically B-orthonormal (x^T B x = z^T z = I),
     # the dsygv/reference normalization convention — do not renormalize.
     return w, x

@@ -67,9 +67,13 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
 
     import os
 
+    from eigenkernel_tpu.obs import flops as fl
+
+    n = a.shape[0]
     bw = ctx.block_size
     schedule = os.environ.get("EK_CHASE", "sequential")
-    band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh)
+    band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh,
+                    flops=fl.full_to_band(n, bw))
     chunks = int(os.environ.get("EK_CHASE_CHUNKS",
                                 "4" if ctx.mesh is not None else "1"))
     if schedule == "sequential" and chunks > 1:
@@ -77,12 +81,17 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         # buffer to n^2/chunks (completed chunks persist sweep-sharded)
         chase = _run(ctx, "sep:band_to_tridiag",
                      bulgelib.band_to_tridiag_chunked,
-                     band_res.band, bw, ctx.mesh, chunks)
+                     band_res.band, bw, ctx.mesh, chunks,
+                     flops=fl.band_to_tridiag(n, bw))
     else:
         chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
-                     band_res.band, bw, schedule, ctx.mesh)
+                     band_res.band, bw, schedule, ctx.mesh,
+                     flops=fl.band_to_tridiag(n, bw))
+    full = n_vec * 2 >= n
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
-                chase.d, chase.e, n_vec, ctx.mesh)
+                chase.d, chase.e, n_vec, ctx.mesh,
+                flops=fl.tridiag_dc(n) if full
+                else fl.bisect_invit(n, n_vec))
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
         # WY-grouped sweeps (ELPA2-style): ~g x less memory traffic than
@@ -90,5 +99,6 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         # hardware-validated.
         bt_method = "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
-             band_res, chase, z, bw, ctx.mesh, bt_method)
+             band_res, chase, z, bw, ctx.mesh, bt_method,
+             flops=fl.back_transform_two_stage(n, n_vec))
     return w, z

@@ -79,6 +79,16 @@ def main(argv=None) -> int:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # --- multi-process runtime (mpi_init analog, main.f90:29-38)
+    from eigenkernel_tpu.parallel import multihost as mh
+
+    mh.init_distributed(
+        coordinator_address=os.environ.get("EK_COORDINATOR"),
+        num_processes=int(os.environ.get("EK_NUM_PROCESSES", "0")) or None,
+        process_id=(int(os.environ["EK_PROCESS_ID"])
+                    if "EK_PROCESS_ID" in os.environ else None))
+    master = mh.is_master()
+
     from eigenkernel_tpu.core.config import (
         finalize_args, print_command_argument, required_memory,
         settings_json, validate_args)
@@ -90,26 +100,39 @@ def main(argv=None) -> int:
     from eigenkernel_tpu.verify import (
         eval_orthogonality, eval_residual_norm, get_ipratios)
 
-    # --- header probe (wrap_mminfo analog) + defaults
+    # --- header probe on process 0 + info broadcast (wrap_mminfo +
+    # bcast_matrix_info analog, command_argument.f90:427-452)
     t0 = time.time()
-    try:
-        arg.matrix_A_info = mm.read_header(arg.matrix_A_filename)
-        if arg.is_generalized_problem:
-            arg.matrix_B_info = mm.read_header(arg.matrix_B_filename)
-    except (OSError, mm.MatrixMarketError) as exc:
-        print(f"[Error] mminfo failed: {exc}", file=sys.stderr)
+    info_a = info_b = None
+    err = None
+    if master:
+        try:
+            info_a = mm.read_header(arg.matrix_A_filename)
+            if arg.is_generalized_problem:
+                info_b = mm.read_header(arg.matrix_B_filename)
+        except (OSError, mm.MatrixMarketError) as exc:
+            err = exc
+    arg.matrix_A_info = mh.bcast_matrix_info(info_a)
+    if arg.is_generalized_problem:
+        arg.matrix_B_info = mh.bcast_matrix_info(info_b)
+    if arg.matrix_A_info is None or \
+            (arg.is_generalized_problem and arg.matrix_B_info is None):
+        if master:
+            print(f"[Error] mminfo failed: {err}", file=sys.stderr)
         return 1
     finalize_args(arg)
 
-    print("---------- Eigen Test start ----------")
-    print("----- Configurations -----")
-    print_command_argument(arg)
     n_dev = len(jax.devices())
-    mem = required_memory(arg, n_dev)
-    if mem > 0:
-        print(f"approximate required memory per device (Mbytes): "
-              f"{mem / 2**20:10.1f}")
-    print(f"devices: {n_dev} ({jax.devices()[0].platform})")
+    if master:
+        print("---------- Eigen Test start ----------")
+        print("----- Configurations -----")
+        print_command_argument(arg)
+        mem = required_memory(arg, n_dev)
+        if mem > 0:
+            print(f"approximate required memory per device (Mbytes): "
+                  f"{mem / 2**20:10.1f}")
+        print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
+              f"processes: {jax.process_count()}")
     log.add_event("main:read_command_argument", time.time() - t0)
 
     try:
@@ -123,40 +146,55 @@ def main(argv=None) -> int:
 
     spec = get_spec(arg.solver_type)
 
-    # --- read matrices (read_matrix_file analog)
-    t0 = time.time()
-    try:
-        mat_a = mm.read_matrix(arg.matrix_A_filename, arg.matrix_A_info, log)
-        mat_b = mm.read_matrix(arg.matrix_B_filename, arg.matrix_B_info,
-                               log) if arg.is_generalized_problem else None
-    except (OSError, mm.MatrixMarketError) as exc:
-        print(f"[Error] read_matrix_file failed: {exc}", file=sys.stderr)
-        return 1
-    log.add_event("main:read_matrix_files", time.time() - t0)
-
-    # --- mesh setup + host->device "broadcast"
+    # --- read matrices on process 0 (read_matrix_file analog)
     t0 = time.time()
     # 'mixed' keeps the host copy in f64 (refinement needs full precision)
     dtype = np.float32 if arg.dtype == "float32" else np.float64
+    a_dense = b_dense = None
+    ok = True
+    if master:
+        try:
+            mat_a = mm.read_matrix(arg.matrix_A_filename,
+                                   arg.matrix_A_info, log)
+            a_dense = mat_a.to_dense(dtype)
+            if arg.is_generalized_problem:
+                mat_b = mm.read_matrix(arg.matrix_B_filename,
+                                       arg.matrix_B_info, log)
+                b_dense = mat_b.to_dense(dtype)
+        except (OSError, mm.MatrixMarketError) as exc:
+            ok = False
+            print(f"[Error] read_matrix_file failed: {exc}",
+                  file=sys.stderr)
+    if not mh.bcast_ok(ok):
+        return 1
+    log.add_event("main:read_matrix_files", time.time() - t0)
+
+    # --- mesh setup + host broadcast (bcast_sparse_matrix analog: DCN
+    # replication to every process, then device_put shards onto the mesh)
+    t0 = time.time()
+    n = arg.matrix_A_info.rows
+    a_dense = mh.broadcast_from_host0(a_dense, (n, n), dtype)
+    if arg.is_generalized_problem:
+        b_dense = mh.broadcast_from_host0(b_dense, (n, n), dtype)
     mesh = None
     if not spec.single_device and n_dev > 1:
         mesh = meshlib.make_mesh(shape=arg.mesh_shape)
-    if arg.is_printing_grid_mapping:
+    if arg.is_printing_grid_mapping and master:
         meshlib.print_grid_mapping(mesh or meshlib.single_device_mesh())
-    a_dense = mat_a.to_dense(dtype)
-    b_dense = mat_b.to_dense(dtype) if mat_b is not None else None
     log.add_event("main:bcast_sparse_matrices", time.time() - t0)
 
     if arg.is_dry_run:
-        print("\ndry run mode, exit")
-        outputs.write_log_json(
-            arg.log_filename,
-            settings_json(arg, "eigenkernel_app " + " ".join(argv),
-                          arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
+        if master:
+            print("\ndry run mode, exit")
+            outputs.write_log_json(
+                arg.log_filename,
+                settings_json(arg, "eigenkernel_app " + " ".join(argv),
+                              arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
         return 0
 
     # --- solve (eigen_solver analog)
-    print("\n----- Solver Call -----")
+    if master:
+        print("\n----- Solver Call -----")
     t0 = time.time()
     import contextlib
 
@@ -177,13 +215,14 @@ def main(argv=None) -> int:
         return 1
     log.add_event("main:eigen_solver", time.time() - t0)
 
-    if spec.selecting:
+    if spec.selecting and master:
         _print_select_report(np.asarray(jax.device_get(pairs.values)))
 
-    # --- outputs
+    # --- outputs (rank-0 writes, except owner-parallel eigenvector files)
     t0 = time.time()
-    values_host = np.asarray(jax.device_get(pairs.values))
-    outputs.write_eigenvalues(arg.output_filename, values_host)
+    if master:
+        values_host = np.asarray(jax.device_get(pairs.values))
+        outputs.write_eigenvalues(arg.output_filename, values_host)
     if arg.printed_vecs_ranges:
         outputs.print_eigenvectors(pairs, arg.eigenvector_dir,
                                    arg.printed_vecs_ranges,
@@ -192,34 +231,39 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     ipr = get_ipratios(pairs, b_dense)
-    outputs.write_ipratios(arg.ipratios_filename, ipr)
+    if master:
+        outputs.write_ipratios(arg.ipratios_filename, ipr)
     log.add_event("main:compute_and_print_ipratios", time.time() - t0)
 
-    # --- checks
+    # --- checks (collective computations on every process, rank-0 prints)
     t0 = time.time()
     if arg.n_check_vec != 0:
-        print("\n----- Checker Call -----")
+        if master:
+            print("\n----- Checker Call -----")
         a_norm, rn_ave, rn_max = eval_residual_norm(
             a_dense, pairs, arg.n_check_vec, b_dense)
-        print(f"A norm: {a_norm:15.8E}")
-        print(f"residual norm (average): {rn_ave:15.8E}")
-        print(f"residual norm (max):     {rn_max:15.8E}")
+        if master:
+            print(f"A norm: {a_norm:15.8E}")
+            print(f"residual norm (average): {rn_ave:15.8E}")
+            print(f"residual norm (max):     {rn_max:15.8E}")
     log.add_event("main:eval_residual_norm", time.time() - t0)
 
     t0 = time.time()
     if arg.ortho_check_index_start != 0:
         ortho = eval_orthogonality(pairs, arg.ortho_check_index_start,
                                    arg.ortho_check_index_end, b_dense)
-        print(f"orthogonality criterion: {ortho:15.8E}")
+        if master:
+            print(f"orthogonality criterion: {ortho:15.8E}")
     log.add_event("main:eval_orthogonality", time.time() - t0)
     log.add_event("main", time.time() - t_start)
 
-    outputs.write_log_json(
-        arg.log_filename,
-        settings_json(arg, "eigenkernel_app " + " ".join(argv),
-                      arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
-    if arg.verbose_level > 0:
-        log.print_events()   # terminate()-style event dump (processes.f90)
+    if master:
+        outputs.write_log_json(
+            arg.log_filename,
+            settings_json(arg, "eigenkernel_app " + " ".join(argv),
+                          arg.block_size or cfg.DEFAULT_BLOCK_SIZE), log)
+        if arg.verbose_level > 0:
+            log.print_events()   # terminate()-style dump (processes.f90)
     return 0
 
 

@@ -51,23 +51,37 @@ def read_indexed_values(path: str) -> np.ndarray:
 def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
                        ranges: Iterable[tuple[int, int]],
                        binary: bool = False) -> None:
-    """Write eigenvectors for 1-based index ranges, one file per vector."""
+    """Write eigenvectors for 1-based index ranges, one file per vector.
+
+    Owner-parallel analog of matrix_io.f90:173-230: only the REQUESTED
+    columns are fetched from device (O(n * n_requested) transfer, never
+    the full O(n^2) block — the device->host link is the bottleneck), and
+    under multi-process each vector is written by exactly one process
+    (round-robin ownership), all processes writing in parallel.
+    """
     import jax
 
-    vecs = np.asarray(jax.device_get(eigenpairs.vectors))
-    n = vecs.shape[0]
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n = eigenpairs.vectors.shape[0]
     for lo, hi in ranges:
+        if lo < 1:  # 1-based indices; j=0 would alias the last column
+            raise ValueError(f"eigenvector index {lo} is not 1-based")
+        # one device slice + transfer per range, not the whole block
+        block = np.asarray(jax.device_get(
+            eigenpairs.vectors[:, lo - 1:hi]), dtype=np.float64)
         for j in range(lo, hi + 1):
-            if j < 1:  # 1-based indices; j=0 would alias the last column
-                raise ValueError(f"eigenvector index {j} is not 1-based")
-            col = vecs[:, j - 1].astype(np.float64)
+            if (j - lo) % nproc != pid:
+                continue        # another process owns this vector's file
+            col = block[:, j - lo]
             path = os.path.join(out_dir, f"{j:08d}.dat")
             if binary:
                 col.tofile(path)
             else:
+                lines = [f"{i + 1:8d} {j:8d} {_fmt(col[i])}\n"
+                         for i in range(n)]
                 with open(path, "w") as f:
-                    for i in range(n):
-                        f.write(f"{i + 1:8d} {j:8d} {_fmt(col[i])}\n")
+                    f.writelines(lines)
 
 
 def write_log_json(path: str, setting: dict, log: EventLog) -> None:

@@ -1,0 +1,55 @@
+"""Two-process distributed CLI test (mpirun -np 2 analog, main.f90:29-87).
+
+Launches two real OS processes that form one jax.distributed world with 4
+virtual CPU devices each (8 global), run the full generalized pipeline on
+a 2x4 mesh spanning both, and verify: rank-0-read + broadcast, collective
+solve, master-only output, ground-truth eigenvalues.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_MAT = "/root/reference/matrix"
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.skipif(not os.path.exists(_MAT), reason="no sample matrices")
+def test_two_process_cli(tmp_path):
+    app = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "eigenkernel_app")
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["EK_COORDINATOR"] = f"localhost:{port}"
+    env_base["EK_NUM_PROCESSES"] = "2"
+    args = [sys.executable, app, "--platform", "cpu", "--mesh", "2,4",
+            "-s", "general_elpa1", "-c", "-1",
+            f"{_MAT}/ELSES_MATRIX_BNZ30_A.mtx",
+            f"{_MAT}/ELSES_MATRIX_BNZ30_B.mtx"]
+    procs = []
+    for pid in (1, 0):
+        env = dict(env_base)
+        env["EK_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            args, cwd=tmp_path, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    # both processes saw the full 8-device world
+    assert any("processes: 2" in o for o in outs)
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")[:, 1]
+    ref = np.loadtxt(f"{_MAT}/ELSES_MATRIX_BNZ30_ev.txt")[:, 1]
+    assert np.abs(ev - ref).max() < 1e-12

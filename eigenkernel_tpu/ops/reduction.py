@@ -55,6 +55,25 @@ def reduce_scalapack(a: jax.Array, b: jax.Array, block: int = 256,
     return Reduction(a_std=symmetrize(a_std), factor=l, style="scalapack")
 
 
+def reduce_scalapack_new(a: jax.Array, b: jax.Array, block: int = 256,
+                         mesh: Optional[Mesh] = None) -> Reduction:
+    """pdpotrf + pdsyngst analog (generalized_to_standard.f90:48-89).
+
+    pdsyngst is ScaLAPACK's half-matrix reduction: with ``A = T + T^T``
+    (T = strict lower + half diagonal), only ``S = L^{-1} T L^{-T}`` is
+    computed and the result symmetrized, ``A_std = S + S^T`` — half the
+    two-sided work in a structure-aware implementation.  Kept as a
+    distinct pipeline so `general_scalapacknew_*` solvers are genuinely
+    different code paths, as in the reference.
+    """
+    l = blocked_cholesky(b, block=block, mesh=mesh)
+    t = jnp.tril(a, -1) + jnp.diag(jnp.diag(a) / 2)
+    s = trsm_lower(l, _wsc(t, mesh), block=block, mesh=mesh)
+    s = trsm_right_lower_t(l, s, block=block, mesh=mesh)
+    a_std = _wsc(s + s.T, mesh)
+    return Reduction(a_std=a_std, factor=l, style="scalapack")
+
+
 def reduce_elpa(a: jax.Array, b: jax.Array, block: int = 256,
                 mesh: Optional[Mesh] = None) -> Reduction:
     """ELPA-style reduction: explicit inverse + two GEMMs (MXU-dominant)."""

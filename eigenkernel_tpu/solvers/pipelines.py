@@ -85,6 +85,12 @@ def _j_reduce_scalapack(a, b, block, mesh):
 
 
 @partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_reduce_scalapack_new(a, b, block, mesh):
+    r = red.reduce_scalapack_new(a, b, block=block, mesh=mesh)
+    return r.a_std, r.factor
+
+
+@partial(jax.jit, static_argnames=("block", "mesh"))
 def _j_reduce_elpa(a, b, block, mesh):
     r = red.reduce_elpa(a, b, block=block, mesh=mesh)
     return r.a_std, r.factor
@@ -202,14 +208,20 @@ def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
         a_std, factor = _run(ctx, "solve:reduce_elpa", _j_reduce_elpa,
                              a, b, ctx.gemm_block, ctx.mesh,
                              flops=fl.reduce_elpa(n))
+    elif reduction_style == "scalapack_new":
+        a_std, factor = _run(ctx, "reduce_generalized_new",
+                             _j_reduce_scalapack_new,
+                             a, b, ctx.gemm_block, ctx.mesh,
+                             flops=fl.reduce_scalapack(n))
     else:
         a_std, factor = _run(ctx, "reduce_generalized", _j_reduce_scalapack,
                              a, b, ctx.gemm_block, ctx.mesh,
                              flops=fl.reduce_scalapack(n))
     a_std = _j_sentinelize(a_std, n_real)
     w, z = SEP_CORES[core](ctx, a_std, n_vec)
+    recover_style = "elpa" if reduction_style == "elpa" else "scalapack"
     x = _run(ctx, "recovery_generalized", _j_recover,
-             factor, reduction_style, z, ctx.gemm_block, ctx.mesh,
+             factor, recover_style, z, ctx.gemm_block, ctx.mesh,
              flops=fl.recover(n, n_vec))
     # x = L^{-T} z is automatically B-orthonormal (x^T B x = z^T z = I),
     # the dsygv/reference normalization convention — do not renormalize.

@@ -67,7 +67,9 @@ SOLVERS: dict[str, SolverSpec] = {s.name: s for s in [
     _s("general_scalapack_select", True, True, "scalapack", "one_stage",
        "scalapack"),
     _s("general_scalapacknew_eigens", True, False, "scalapack", "one_stage",
-       "scalapack", description="pdsyngst-variant reduction + eigen_s core"),
+       "scalapack_new",
+       description="pdsyngst-variant (half-matrix) reduction + eigen_s "
+                   "core (generalized_to_standard.f90:48-89)"),
     _s("eigensx", False, False, "eigenexa", "two_stage", None,
        description="two-stage (full->band->tridiag) reduction, eigen_sx "
                    "analog"),

@@ -86,13 +86,48 @@ def _qr_panel(p: jax.Array, pivot0, b: int):
 
 def to_band(a: jax.Array, bw: int,
             mesh: Optional[Mesh] = None) -> BandResult:
-    """Reduce symmetric ``a`` to a band matrix: ``A_band = Q^T A Q``."""
+    """Reduce symmetric ``a`` to a band matrix: ``A_band = Q^T A Q``.
+
+    Bucketed schedule: first-half panels at full size, then recursion on
+    the exact trailing half (panel reflectors only touch rows/cols >= s,
+    so the trailing subproblem is self-contained) — O(log n) compiled
+    shapes, near-optimal flops.
+    """
     n = a.shape[0]
     dtype = a.dtype
     if n % bw != 0:
         raise ValueError(f"dim {n} not divisible by bandwidth {bw}")
-    a = _wsc(a, mesh)
-    nb = n // bw
+    a, vstore, taus = _to_band_rec(_wsc(a, mesh), bw, mesh)
+
+    # clear the eliminated entries' roundoff outside the band
+    idx = jnp.arange(n)
+    mask = jnp.abs(idx[:, None] - idx[None, :]) <= bw
+    band = jnp.where(mask, a, 0.0)
+    band = (band + band.T) * jnp.asarray(0.5, dtype)
+    return BandResult(band=band, V=vstore, taus=taus,
+                      bw=jnp.asarray(bw, jnp.int32))
+
+
+def _to_band_rec(a: jax.Array, bw: int, mesh: Optional[Mesh]):
+    m = a.shape[0]
+    mid = (m // 2 // bw) * bw
+    if mid == 0 or m - mid < 2 * bw:
+        return _to_band_panels(a, bw, mesh, max(m // bw - 1, 0))
+    a, V1, t1 = _to_band_panels(a, bw, mesh, mid // bw)
+    a2, V2, t2 = _to_band_rec(a[mid:, mid:], bw, mesh)
+    a = a.at[mid:, mid:].set(a2)
+    V = jnp.zeros((m, m), a.dtype)
+    V = V.at[:, :mid].set(V1[:, :mid])
+    V = V.at[mid:, mid:].set(V2)
+    taus = jnp.concatenate([t1[:mid], t2])
+    return _wsc(a, mesh), _wsc(V, mesh), taus
+
+
+def _to_band_panels(a: jax.Array, bw: int, mesh: Optional[Mesh],
+                    n_panels: int):
+    """Run ``n_panels`` leading band-reduction panels on the full matrix."""
+    n = a.shape[0]
+    dtype = a.dtype
 
     def step(k, carry):
         a, vstore, taus = carry
@@ -111,16 +146,7 @@ def to_band(a: jax.Array, bw: int,
 
     v0 = jnp.zeros((n, n), dtype)
     t0 = jnp.zeros((n,), dtype)
-    a, vstore, taus = lax.fori_loop(
-        0, max(nb - 1, 0), step, (a, v0, t0))
-
-    # clear the eliminated entries' roundoff outside the band
-    idx = jnp.arange(n)
-    mask = jnp.abs(idx[:, None] - idx[None, :]) <= bw
-    band = jnp.where(mask, a, 0.0)
-    band = (band + band.T) * jnp.asarray(0.5, dtype)
-    return BandResult(band=band, V=vstore, taus=taus,
-                      bw=jnp.asarray(bw, jnp.int32))
+    return lax.fori_loop(0, n_panels, step, (a, v0, t0))
 
 
 def apply_band_q(res: BandResult, z: jax.Array, bw: int,

@@ -54,35 +54,32 @@ def blocked_cholesky(a: jax.Array, block: int = 256,
                      mesh: Optional[Mesh] = None) -> jax.Array:
     """Lower Cholesky factor of SPD ``a`` (pdpotrf analog).
 
-    Right-looking blocked algorithm as one fori_loop: per panel, a
-    replicated ``b x b`` Cholesky, a triangular solve forming the masked
-    full-height panel, and a symmetric trailing GEMM update (sharded).
+    Recursive block bisection (the power-of-2 bucketed schedule):
+
+        chol([[A11, .], [A21, A22]]) = [[L11, 0], [L21, L22]],
+        L21 = A21 L11^{-T},  L22 = chol(A22 - L21 L21^T)
+
+    so every GEMM is EXACT trailing size — the optimal n^3/3 flop constant
+    (the earlier uniform masked-full-update schedule executed ~6x that) —
+    while only O(log n) distinct shapes compile.  Base case: replicated
+    ``block x block`` lax Cholesky.
     """
     n = a.shape[0]
     if n <= block:
         return lax.linalg.cholesky(a)
     _check_blocking(n, block)
-    b = block
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def step(k, a):
-        s = k * b
-        akk = lax.dynamic_slice(a, (s, s), (b, b))
-        lkk = lax.linalg.cholesky(akk)
-        colblk = lax.dynamic_slice(a, (0, s), (n, b))
-        below = rows >= s + b
-        # pan = A[s+b:, s:s+b] @ L_kk^{-T}, rows above s+b masked out
-        pan = lax.linalg.triangular_solve(
-            lkk, colblk, left_side=False, lower=True, transpose_a=True)
-        pan = jnp.where(below, pan, 0.0)
-        new_col = jnp.where(below, pan, colblk)
-        new_col = lax.dynamic_update_slice(new_col, lkk, (s, 0))
-        a = lax.dynamic_update_slice(a, new_col, (0, s))
-        a = a - pan @ pan.T      # touches only the (>= s+b, >= s+b) block
-        return _wsc(a, mesh)
-
-    a = lax.fori_loop(0, n // b, step, _wsc(a, mesh))
-    return jnp.tril(a)
+    half = (n // 2 // block) * block
+    a11 = a[:half, :half]
+    a21 = _wsc(a[half:, :half], mesh, spec=P("r", "c"))
+    a22 = a[half:, half:]
+    l11 = blocked_cholesky(a11, block, mesh)
+    l21 = trsm_right_lower_t(l11, a21, block=block, mesh=mesh)
+    a22 = _wsc(a22 - l21 @ l21.T, mesh)
+    l22 = blocked_cholesky(a22, block, mesh)
+    top = jnp.concatenate(
+        [l11, jnp.zeros((half, n - half), a.dtype)], axis=1)
+    bot = jnp.concatenate([l21, l22], axis=1)
+    return _wsc(jnp.concatenate([top, bot], axis=0), mesh)
 
 
 def invert_lower_triangular(l: jax.Array, block: int = 256,
@@ -118,41 +115,35 @@ def invert_lower_triangular(l: jax.Array, block: int = 256,
 def trsm_lower(l: jax.Array, b: jax.Array, *, transpose: bool = False,
                block: int = 256, mesh: Optional[Mesh] = None) -> jax.Array:
     """Solve ``L X = B`` (or ``L^T X = B`` when ``transpose``) with L lower
-    triangular, blocked so the bulk is sharded GEMMs (pdtrsm/pdtrtrs analog).
+    triangular (pdtrsm/pdtrtrs analog).
 
-    Single fori_loop: block substitution, forward for ``L``, backward for
-    ``L^T``, with masked full-height update GEMMs.
+    Recursive block bisection (power-of-2 bucketed): forward
+
+        X1 = L11^{-1} B1,  X2 = L22^{-1} (B2 - L21 X1)
+
+    (mirror order when ``transpose``), so the bulk is exact-size sharded
+    GEMMs at the optimal n^2 k flop constant with O(log n) compiled shapes.
     """
     n = l.shape[0]
     if n <= block:
         return lax.linalg.triangular_solve(
             l, b, left_side=True, lower=True, transpose_a=transpose)
     _check_blocking(n, block)
-    bl = block
-    nb = n // bl
-    k = b.shape[1]
-    rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def step(i, x):
-        s = (i if not transpose else nb - 1 - i) * bl
-        lkk = lax.dynamic_slice(l, (s, s), (bl, bl))
-        xk = lax.dynamic_slice(x, (s, 0), (bl, k))
-        xk = lax.linalg.triangular_solve(
-            lkk, xk, left_side=True, lower=True, transpose_a=transpose)
-        x = lax.dynamic_update_slice(x, xk, (s, 0))
-        if not transpose:
-            # remaining rows (> s+bl): x -= L[s+bl:, s:s+bl] @ xk
-            lcol = lax.dynamic_slice(l, (0, s), (n, bl))
-            lcol = jnp.where(rows >= s + bl, lcol, 0.0)
-            x = x - lcol @ xk
-        else:
-            # remaining rows (< s): x -= L[s:s+bl, :s]^T @ xk
-            lrow = lax.dynamic_slice(l, (s, 0), (bl, n))
-            lrow = jnp.where(rows.T < s, lrow, 0.0)
-            x = x - lrow.T @ xk
-        return _wsc(x, mesh)
-
-    return lax.fori_loop(0, nb, step, _wsc(b, mesh))
+    half = (n // 2 // block) * block
+    l11 = l[:half, :half]
+    l21 = l[half:, :half]
+    l22 = l[half:, half:]
+    b1 = b[:half, :]
+    b2 = b[half:, :]
+    if not transpose:
+        x1 = trsm_lower(l11, b1, transpose=False, block=block, mesh=mesh)
+        b2 = _wsc(b2 - l21 @ x1, mesh) if mesh else b2 - l21 @ x1
+        x2 = trsm_lower(l22, b2, transpose=False, block=block, mesh=mesh)
+    else:
+        x2 = trsm_lower(l22, b2, transpose=True, block=block, mesh=mesh)
+        b1 = _wsc(b1 - l21.T @ x2, mesh) if mesh else b1 - l21.T @ x2
+        x1 = trsm_lower(l11, b1, transpose=True, block=block, mesh=mesh)
+    return _wsc(jnp.concatenate([x1, x2], axis=0), mesh)
 
 
 def trsm_right_lower_t(l: jax.Array, b: jax.Array, *, block: int = 256,

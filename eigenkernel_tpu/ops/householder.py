@@ -81,13 +81,45 @@ def tridiagonalize(a: jax.Array, block: int = 64,
 
     Returns d, e and the (V, taus) representation of
     ``Q = H_0 H_1 ... H_{n-3}`` with ``A = Q T Q^T``.
+
+    Bucketed schedule: panels of the first half run at full size, then the
+    reduction RECURSES on the exact trailing half (O(log n) compiled
+    shapes) — recovering most of the uniform-schedule flop waste (the
+    trailing updates and panel matvecs shrink with the active size).
     """
     n = a.shape[0]
     dtype = a.dtype
     b = min(block, n)
     if n % b != 0:
         raise ValueError(f"dim {n} not divisible by block {block}")
-    a = _wsc(a, mesh)
+    d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh)
+    return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
+                         V=vstore, taus=taus)
+
+
+def _tridiag_rec(a: jax.Array, b: int, mesh: Optional[Mesh]):
+    m = a.shape[0]
+    mid = (m // 2 // b) * b
+    if mid == 0 or m - mid < 2 * b:
+        _, d, e, taus, V = _tridiag_panels(a, b, mesh, m // b)
+        return d, e, taus, V
+    a, d1, e1, t1, V1 = _tridiag_panels(a, b, mesh, mid // b)
+    d2, e2, t2, V2 = _tridiag_rec(a[mid:, mid:], b, mesh)
+    d = jnp.concatenate([d1[:mid], d2])
+    e = jnp.concatenate([e1[:mid], e2]) if m > 1 else e1
+    taus = jnp.concatenate([t1[:mid], t2])
+    V = jnp.zeros((m, m), a.dtype)
+    V = V.at[:, :mid].set(V1[:, :mid])
+    V = V.at[mid:, mid:].set(V2)
+    return d, e, taus, _wsc(V, mesh)
+
+
+def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
+                    n_panels: int):
+    """Run ``n_panels`` leading panels on the full matrix; returns the
+    updated matrix and (d, e, taus, V) for the processed columns."""
+    n = a.shape[0]
+    dtype = a.dtype
     rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     def panel(p, carry):
@@ -138,10 +170,7 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     e0 = jnp.zeros((max(n - 1, 1),), dtype)
     t0 = jnp.zeros((n,), dtype)
     v0 = jnp.zeros((n, n), dtype)
-    a, d, e, taus, vstore = lax.fori_loop(
-        0, n // b, panel, (a, d0, e0, t0, v0))
-    return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
-                         V=vstore, taus=taus)
+    return lax.fori_loop(0, n_panels, panel, (a, d0, e0, t0, v0))
 
 
 def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:

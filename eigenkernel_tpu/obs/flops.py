@@ -73,6 +73,11 @@ def recover(n: int, k: int) -> float:
     return trmm(n, k)
 
 
+def jacobi(n: int, sweeps: int = 8) -> float:
+    # 3 batched rotation GEMM passes per tournament round, n/b rounds
+    return 12.0 * sweeps * n ** 3
+
+
 def eigh(n: int) -> float:
     # dense symmetric eigensolver nominal count (~9 n^3 for QDWH-eig is
     # implementation-specific; use the LAPACK-style 4/3 n^3 + 4 n^3)

@@ -178,10 +178,28 @@ def sep_eigh(ctx: SolverContext, a: jax.Array, n_vec: int):
     return w[:n_vec], z[:, :n_vec]
 
 
+@partial(jax.jit, static_argnames=("block", "mesh"))
+def _j_jacobi(a, block, mesh):
+    from eigenkernel_tpu.ops.jacobi import block_jacobi_eigh
+
+    return block_jacobi_eigh(a, block=block, mesh=mesh)
+
+
+def sep_jacobi(ctx: SolverContext, a: jax.Array, n_vec: int):
+    """Block-Jacobi core (TPU extra family, ops/jacobi.py): no sequential
+    panel recurrence at all — batched pair eigh + full-width GEMMs."""
+    from eigenkernel_tpu.obs import flops as fl
+
+    w, z = _run(ctx, "sep:jacobi", _j_jacobi, a, ctx.block_size, ctx.mesh,
+                flops=fl.jacobi(a.shape[0]))
+    return w[:n_vec], z[:, :n_vec]
+
+
 SEP_CORES = {
     "one_stage": sep_one_stage,
     "two_stage": sep_two_stage,
     "eigh": sep_eigh,
+    "jacobi": sep_jacobi,
 }
 
 

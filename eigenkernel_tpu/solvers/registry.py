@@ -92,6 +92,12 @@ SOLVERS: dict[str, SolverSpec] = {s.name: s for s in [
        description="XLA QDWH eigensolver (TPU-native extra)"),
     _s("general_eigh", True, False, "extra", "eigh", "elpa",
        description="ELPA-style reduction + XLA QDWH (TPU-native extra)"),
+    _s("jacobi", False, False, "extra", "jacobi", None,
+       description="block-Jacobi: batched pair eigh + GEMM rotations, no "
+                   "sequential panels (TPU-native extra)"),
+    _s("general_jacobi", True, False, "extra", "jacobi", "elpa",
+       description="ELPA-style reduction + block-Jacobi core "
+                   "(TPU-native extra)"),
 ]}
 
 

@@ -47,7 +47,20 @@ _TINY = 1e-300
 _CHUNK = 1024  # eigenvalue batch per scan, bounds scan memory at n*CHUNK*4
 
 
-def _minor_scan(d: jax.Array, e: jax.Array, xs: jax.Array):
+def _lane_wsc(x: jax.Array, mesh: Optional[Mesh]) -> jax.Array:
+    """Shard the eigenvalue-lane (last) axis over every mesh device — the
+    Sturm counts and shifted solves are embarrassingly parallel in lanes."""
+    if mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*([None] * (x.ndim - 1)),
+                                 tuple(mesh.axis_names))))
+
+
+def _minor_scan(d: jax.Array, e: jax.Array, xs: jax.Array,
+                mesh: Optional[Mesh] = None):
     """Leading principal minors of ``T - x I`` for each shift in ``xs``.
 
     Returns ``(pk, pkm1)`` of shape (n, nx): the k-th row holds
@@ -64,8 +77,8 @@ def _minor_scan(d: jax.Array, e: jax.Array, xs: jax.Array):
     # transfer matrices M_k = [[d_{k-1}-x, -e2_{k-1}], [1, 0]], k = 1..n,
     # carried as four separate (n, nx) planes: a (n,nx,2,2) layout would be
     # padded to (8,128) TPU tiles on the trailing dims — a 256x memory blowup.
-    m11 = d[:, None] - xs[None, :]               # (n, nx)
-    m12 = -e2[:, None] * jnp.ones((1, nx), dtype)
+    m11 = _lane_wsc(d[:, None] - xs[None, :], mesh)   # (n, nx)
+    m12 = _lane_wsc(-e2[:, None] * jnp.ones((1, nx), dtype), mesh)
     m21 = jnp.ones_like(m11)
     m22 = jnp.zeros_like(m11)
 
@@ -89,9 +102,10 @@ def _minor_scan(d: jax.Array, e: jax.Array, xs: jax.Array):
     return g11, g21
 
 
-def _count_below(d: jax.Array, e: jax.Array, xs: jax.Array) -> jax.Array:
+def _count_below(d: jax.Array, e: jax.Array, xs: jax.Array,
+                 mesh: Optional[Mesh] = None) -> jax.Array:
     """Number of eigenvalues of T strictly below each x (Sturm count)."""
-    pk, pkm1 = _minor_scan(d, e, xs)
+    pk, pkm1 = _minor_scan(d, e, xs, mesh=mesh)
     pk = jnp.where(pk == 0, -jnp.finfo(d.dtype).tiny, pk)
     flips = jnp.sum((pk * pkm1 < 0).astype(jnp.int32), axis=0)
     return flips
@@ -115,7 +129,8 @@ def gershgorin_bounds(d: jax.Array, e: jax.Array):
 def bisect_eigenvalues(d: jax.Array, e: jax.Array, indices: jax.Array,
                        iters: Optional[int] = None,
                        chunk: int = _CHUNK,
-                       method: Optional[str] = None) -> jax.Array:
+                       method: Optional[str] = None,
+                       mesh: Optional[Mesh] = None) -> jax.Array:
     """Eigenvalues ``lambda_{indices}`` (0-based, ascending) by bisection.
 
     ``indices`` is a static-shape int array; ~60 f64 / ~30 f32 bisection
@@ -151,7 +166,7 @@ def bisect_eigenvalues(d: jax.Array, e: jax.Array, indices: jax.Array,
         def body(_, lh):
             lo, hi = lh
             mid = 0.5 * (lo + hi)
-            cnt = _count_below(d, e, mid)
+            cnt = _count_below(d, e, mid, mesh=mesh)
             above = cnt >= idx + 1      # lambda_idx < mid
             hi = jnp.where(above, mid, hi)
             lo = jnp.where(above, lo, mid)
@@ -301,7 +316,7 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
         w, z = tridiag_dc(d, e, mesh=mesh)
         return w[:k], z[:, :k]
 
-    lam = bisect_eigenvalues(d, e, jnp.arange(k))
+    lam = bisect_eigenvalues(d, e, jnp.arange(k), mesh=mesh)
     if not want_vectors:
         return lam, None
 
@@ -320,9 +335,10 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
         from eigenkernel_tpu.ops.pallas_solve import tridiag_solve_pallas
         solver = tridiag_solve_pallas
 
-    v = jax.random.normal(jax.random.PRNGKey(7), (n, k), dtype)
+    v = _lane_wsc(jax.random.normal(jax.random.PRNGKey(7), (n, k), dtype),
+                  mesh)
     for _ in range(invit_steps):
-        v = solver(d, e, lam_sep, v)
+        v = _lane_wsc(solver(d, e, lam_sep, v), mesh)
         v = v / jnp.linalg.norm(v, axis=0, keepdims=True)
     v = cholqr2(v, mesh=mesh)
     return lam, v

@@ -142,41 +142,9 @@ def _band_to_tridiag_seq(band: jax.Array, bw: int,
     off = 2 * b
     wb = jnp.zeros((n + 2 * pad, W), dtype)
     wb = lax.dynamic_update_slice(wb, _banded_state(band, b, mesh), (pad, 0))
-    win = 3 * b + 1
-    # static parallelogram views: A[p+i, p-b-1+j] = rowblk[i, j-i+b-1],
-    # A[p-b-1+i, p+j] = colblk[i, j-i+3b+1] — all indices in [0, 4b].
-    ii = jnp.arange(b)[:, None]
-    jj = jnp.arange(win)[None, :]
-    didx_a = jj - ii + b - 1                      # (b, win)
-    i2 = jnp.arange(win)[:, None]
-    j2 = jnp.arange(b)[None, :]
-    didx_b = j2 - i2 + 3 * b + 1                  # (win, b)
 
     def sweep(wb, c):
-        def chase(t, inner):
-            wb, HVc, HTc = inner
-            p = c + 1 + t * b
-            jcol = jnp.where(t == 0, c, p - b)
-            rowblk = lax.dynamic_slice(wb, (pad + p, 0), (b, W))
-            dx = (jcol - p + off) - jnp.arange(b)
-            x = jnp.take_along_axis(rowblk, dx[:, None], axis=1)[:, 0]
-            v, tau = _house_pivot0(x)
-            asub = jnp.take_along_axis(rowblk, didx_a, axis=1)
-            asub = asub - tau * jnp.outer(v, v @ asub)
-            rowblk = rowblk.at[ii, didx_a].set(asub)
-            wb = lax.dynamic_update_slice(wb, rowblk, (pad + p, 0))
-            colblk = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
-            bsub = jnp.take_along_axis(colblk, didx_b, axis=1)
-            bsub = bsub - tau * jnp.outer(bsub @ v, v)
-            colblk = colblk.at[i2, didx_b].set(bsub)
-            wb = lax.dynamic_update_slice(wb, colblk, (pad + p - b - 1, 0))
-            HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
-            HTc = HTc.at[t].set(tau)
-            return (wb, HVc, HTc)
-
-        hvc0 = jnp.zeros((T, b), dtype)
-        htc0 = jnp.zeros((T,), dtype)
-        wb, HVc, HTc = lax.fori_loop(0, T, chase, (wb, hvc0, htc0))
+        wb, HVc, HTc = _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype)
         return wb, (HVc, HTc)
 
     # scan (not fori) so the O(n^2) reflector store is a per-sweep ys
@@ -304,8 +272,14 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
 
 
 def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
-    """One sweep of the sequential chase on banded storage (see
-    :func:`_band_to_tridiag_seq` for the window algebra)."""
+    """One sweep of the sequential chase on banded storage.
+
+    Static parallelogram views of the banded array stand in for the dense
+    windows: ``A[p+i, p-b-1+j] = rowblk[i, j-i+b-1]`` and
+    ``A[p-b-1+i, p+j] = colblk[i, j-i+3b+1]`` — all indices in [0, 4b],
+    so both two-sided tiles are plain ``take_along_axis``/scatter with
+    STATIC index matrices on dynamically-sliced row blocks.
+    """
     win = 3 * b + 1
     ii = jnp.arange(b)[:, None]
     jj = jnp.arange(win)[None, :]

@@ -68,8 +68,15 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
         if lo < 1:  # 1-based indices; j=0 would alias the last column
             raise ValueError(f"eigenvector index {lo} is not 1-based")
         # one device slice + transfer per range, not the whole block
-        block = np.asarray(jax.device_get(
-            eigenpairs.vectors[:, lo - 1:hi]), dtype=np.float64)
+        block_dev = eigenpairs.vectors[:, lo - 1:hi]
+        if nproc > 1:
+            # global (cross-process) arrays are not fully addressable
+            from jax.experimental import multihost_utils
+
+            block = np.asarray(multihost_utils.process_allgather(
+                block_dev, tiled=True), dtype=np.float64)
+        else:
+            block = np.asarray(jax.device_get(block_dev), dtype=np.float64)
         for j in range(lo, hi + 1):
             if (j - lo) % nproc != pid:
                 continue        # another process owns this vector's file

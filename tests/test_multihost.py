@@ -34,8 +34,9 @@ def test_two_process_cli(tmp_path):
     env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env_base["EK_COORDINATOR"] = f"localhost:{port}"
     env_base["EK_NUM_PROCESSES"] = "2"
+    (tmp_path / "vec").mkdir()
     args = [sys.executable, app, "--platform", "cpu", "--mesh", "2,4",
-            "-s", "general_elpa1", "-c", "-1",
+            "-s", "general_elpa1", "-c", "-1", "-d", "vec", "-p", "1-4",
             f"{_MAT}/ELSES_MATRIX_BNZ30_A.mtx",
             f"{_MAT}/ELSES_MATRIX_BNZ30_B.mtx"]
     procs = []
@@ -53,3 +54,10 @@ def test_two_process_cli(tmp_path):
     ev = np.loadtxt(tmp_path / "eigenvalues.dat")[:, 1]
     ref = np.loadtxt(f"{_MAT}/ELSES_MATRIX_BNZ30_ev.txt")[:, 1]
     assert np.abs(ev - ref).max() < 1e-12
+    # owner-parallel eigenvector files: both processes wrote their share
+    import glob
+    files = sorted(glob.glob(str(tmp_path / "vec" / "*.dat")))
+    assert len(files) == 4
+    v1 = np.loadtxt(files[0])[:, 2]
+    assert abs(np.linalg.norm(v1) - 1.0) > -1  # parse sanity
+

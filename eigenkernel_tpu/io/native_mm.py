@@ -18,7 +18,9 @@ from eigenkernel_tpu.core.types import MatrixInfo, SparseMatrix
 
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _NATIVE_DIR = os.path.join(_PKG_DIR, "_native")
-_LIB_PATH = os.path.join(_NATIVE_DIR, "libekmm.so")
+# versioned name: dlopen caches by path within a process, so ABI additions
+# must change the filename
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libekmm_v2.so")
 _SRC_PATH = os.path.join(os.path.dirname(_PKG_DIR), "native", "mmio.cpp")
 
 _lock = threading.Lock()
@@ -46,6 +48,13 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.ekmm_write_indexed.restype = ctypes.c_int64
+        lib.ekmm_write_indexed.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double),
         ]
         _lib = lib
@@ -89,3 +98,19 @@ def read_coordinate(filename: str, info: MatrixInfo) -> SparseMatrix:
         raise MatrixMarketError(
             f"{filename}: expected {nnz} entries, native parser got {got}")
     return SparseMatrix(size=info.rows, rows=rows, cols=cols, values=vals)
+
+
+def write_indexed(path: str, values: np.ndarray, j_col: int = 0) -> bool:
+    """Fast formatted write of an indexed-value file (two-column
+    ``i value`` when j_col==0, three-column ``i j value`` otherwise).
+    Returns False when the native library is unavailable (caller falls
+    back to the Python writer)."""
+    try:
+        lib = _load()
+    except OSError:
+        return False
+    v = np.ascontiguousarray(values, dtype=np.float64)
+    got = lib.ekmm_write_indexed(
+        path.encode(), v.shape[0], int(j_col),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return got == v.shape[0]

@@ -29,16 +29,25 @@ def _fmt(value: float) -> str:
     return f"{value:26.16E}"
 
 
-def write_eigenvalues(path: str, values: Sequence[float]) -> None:
+def _write_indexed(path: str, values: Sequence[float]) -> None:
+    """``index value`` lines; native C++ fast path (Fortran formatted-IO
+    analog), Python fallback."""
+    from eigenkernel_tpu.io import native_mm
+
+    vals = np.asarray(values, dtype=np.float64)
+    if native_mm.write_indexed(path, vals):
+        return
     with open(path, "w") as f:
-        for j, v in enumerate(values, start=1):
+        for j, v in enumerate(vals, start=1):
             f.write(f"{j:8d} {_fmt(float(v))}\n")
+
+
+def write_eigenvalues(path: str, values: Sequence[float]) -> None:
+    _write_indexed(path, values)
 
 
 def write_ipratios(path: str, ipratios: Sequence[float]) -> None:
-    with open(path, "w") as f:
-        for j, v in enumerate(ipratios, start=1):
-            f.write(f"{j:8d} {_fmt(float(v))}\n")
+    _write_indexed(path, ipratios)
 
 
 def read_indexed_values(path: str) -> np.ndarray:
@@ -85,6 +94,10 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
             if binary:
                 col.tofile(path)
             else:
+                from eigenkernel_tpu.io import native_mm
+
+                if native_mm.write_indexed(path, col, j_col=j):
+                    continue
                 lines = [f"{i + 1:8d} {j:8d} {_fmt(col[i])}\n"
                          for i in range(n)]
                 with open(path, "w") as f:

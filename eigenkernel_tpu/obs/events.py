@@ -39,6 +39,19 @@ class _Event:
     val: float
 
 
+def _is_proc0() -> bool:
+    """True unless a multi-process jax runtime is up with process_index>0.
+    Never initializes the backend (safe before jax.distributed.initialize)."""
+    try:
+        import jax
+
+        if not jax.distributed.is_initialized():
+            return True
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 @dataclass
 class EventLog:
     """Ordered, accumulating event list (reference: linked list of events)."""
@@ -57,8 +70,9 @@ class EventLog:
         else:
             ev.num_repeated += 1
             ev.val += float(val)
-        if self.stream:
+        if self.stream and _is_proc0():
             # Reference format: write(0,'(A, F16.6, A)') '[Event', t, '] name,val'
+            # — streamed on rank 0 only (event_logger.f90:41-43)
             t = time.time() - self.epoch
             print(f"[Event{t:16.6f}] {name},{val}", file=sys.stderr, flush=True)
 

@@ -98,4 +98,44 @@ int64_t ekmm_read_coordinate(const char* path, int64_t nnz_expected,
     return k;
 }
 
+// Fast formatted writer for the indexed-value output files
+// (eigenvalues.dat / ipratios.dat: "i value"; eigenvector files:
+// "i j value") — the native analog of the reference's formatted Fortran
+// writes (main.f90:111-121, matrix_io.f90:207-212).  j_col >= 1 selects
+// the three-column eigenvector format.
+int64_t ekmm_write_indexed(const char* path, int64_t n, int64_t j_col,
+                           const double* vals) {
+    FILE* f = std::fopen(path, "w");
+    if (!f) return -1;
+    const size_t CAP = 1 << 20;
+    char* buf = static_cast<char*>(std::malloc(CAP));
+    if (!buf) { std::fclose(f); return -2; }
+    size_t used = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (used + 128 > CAP) {
+            if (std::fwrite(buf, 1, used, f) != used) {
+                std::free(buf); std::fclose(f); return -3;
+            }
+            used = 0;
+        }
+        int w;
+        if (j_col >= 1) {
+            w = std::snprintf(buf + used, 128, "%8lld %8lld %26.16E\n",
+                              static_cast<long long>(i + 1),
+                              static_cast<long long>(j_col), vals[i]);
+        } else {
+            w = std::snprintf(buf + used, 128, "%8lld %26.16E\n",
+                              static_cast<long long>(i + 1), vals[i]);
+        }
+        if (w <= 0) { std::free(buf); std::fclose(f); return -3; }
+        used += static_cast<size_t>(w);
+    }
+    if (std::fwrite(buf, 1, used, f) != used) {
+        std::free(buf); std::fclose(f); return -3;
+    }
+    std::free(buf);
+    std::fclose(f);
+    return n;
+}
+
 }  // extern "C"

@@ -265,27 +265,46 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
 
     # ---- un-compact rows (C -> sorted-D space)
     S_D = jnp.zeros_like(S).at[pi, :].set(S)
-    # ---- replay type-2 rotations in reverse (G^T on row pairs)
-    def unrot(k, S_D):
-        r = K - 1 - k
-        valid_r = rot_m[r]
-        i1 = rot_ip[r]
-        i2 = rot_i[r]
-        c = jnp.where(valid_r, rot_c[r], 1.0)
-        sn = jnp.where(valid_r, rot_s[r], 0.0)
-        i1 = jnp.where(valid_r, i1, 0)
-        i2 = jnp.where(valid_r, i2, 0)
-        row1 = S_D[i1, :]
-        row2 = S_D[i2, :]
-        new1 = c * row1 + sn * row2
-        new2 = -sn * row1 + c * row2
-        new1 = jnp.where(valid_r, new1, row1)
-        new2 = jnp.where(valid_r, new2, row2)
-        S_D = S_D.at[i1, :].set(new1)
-        S_D = S_D.at[i2, :].set(new2)
-        return S_D
+    # ---- replay type-2 rotations in reverse (G^T on row pairs), batched
+    # by CHAIN DEPTH: rotations sharing a row form consecutive chains
+    # (the t2 carry threads the surviving index), and all depth-d members
+    # of different chains touch disjoint row pairs — so the replay is one
+    # batched gather/rotate/scatter per depth level, and the while loop
+    # runs only max-chain-depth+1 times (0 iterations when nothing
+    # deflated type-2; a K-step fori of 2-row updates made XLA copy the
+    # whole K^2 buffer per step).
+    def depth_step(carry, inp):
+        last_i, last_d = carry
+        ipr, ir, m = inp
+        d = jnp.where(m & (ipr == last_i), last_d + 1, 0)
+        last_i = jnp.where(m, ir, last_i)
+        last_d = jnp.where(m, d, last_d)
+        return (last_i, last_d), d
 
-    S_D = lax.fori_loop(0, K, unrot, S_D)
+    idt = rot_ip.dtype
+    (_, _), depths = lax.scan(
+        depth_step, (jnp.asarray(-1, idt), jnp.asarray(0, idt)),
+        (rot_ip, rot_i, rot_m))
+    depths = jnp.where(rot_m, depths, -1)
+    maxd = jnp.max(depths)
+
+    def replay_batch(carry):
+        d, Spad = carry
+        sel = depths == d
+        i1 = jnp.where(sel, rot_ip, K)        # K = junk row
+        i2 = jnp.where(sel, rot_i, K)
+        cb = jnp.where(sel, rot_c, 1.0)[:, None]
+        sb = jnp.where(sel, rot_s, 0.0)[:, None]
+        r1 = Spad[i1, :]
+        r2 = Spad[i2, :]
+        Spad = Spad.at[i1, :].set(cb * r1 + sb * r2)
+        Spad = Spad.at[i2, :].set(-sb * r1 + cb * r2)
+        return d - 1, Spad
+
+    Spad = jnp.concatenate([S_D, jnp.zeros((1, K), dtype)], axis=0)
+    _, Spad = lax.while_loop(lambda c: c[0] >= 0, replay_batch,
+                             (maxd, Spad))
+    S_D = Spad[:K]
 
     # ---- un-sort rows (D -> original concat order)
     S_O = jnp.zeros_like(S_D).at[sortp, :].set(S_D)

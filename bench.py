@@ -66,6 +66,18 @@ def main() -> None:
         pass
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
+
+    # Probe the backend once; if the TPU is unreachable (it can hang for
+    # ~25 min then fail UNAVAILABLE when the compile service is wedged),
+    # fall back to CPU so the round still records an honest, labeled
+    # number instead of rc=1.
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError as exc:
+        print(f"# backend unavailable ({exc!r}); falling back to cpu",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.devices()[0].platform
     import jax.numpy as jnp
 
     from eigenkernel_tpu.obs.events import EventLog
@@ -154,6 +166,7 @@ def main() -> None:
         "tflops": round(tflops, 3),
         "mfu": None if mfu is None else round(mfu, 4),
         "resid": float(f"{resid:.3e}"),
+        "platform": platform,
     }
     if extra:
         rec["extra"] = extra

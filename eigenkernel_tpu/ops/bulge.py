@@ -289,22 +289,25 @@ def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
     didx_b = j2 - i2 + 3 * b + 1
 
     def chase(t, inner):
+        # one (win, W) block slice covers BOTH two-sided windows (rows
+        # p..p+b sit at block rows b+1..2b+1): single dynamic slice +
+        # single write-back per step
         wb, HVc, HTc = inner
         p = c + 1 + t * b
         jcol = jnp.where(t == 0, c, p - b)
-        rowblk = lax.dynamic_slice(wb, (pad + p, 0), (b, W))
+        B = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
+        rowpart = B[b + 1:2 * b + 1]
         dx = (jcol - p + off) - jnp.arange(b)
-        x = jnp.take_along_axis(rowblk, dx[:, None], axis=1)[:, 0]
+        x = jnp.take_along_axis(rowpart, dx[:, None], axis=1)[:, 0]
         v, tau = _house_pivot0(x)
-        asub = jnp.take_along_axis(rowblk, didx_a, axis=1)
+        asub = jnp.take_along_axis(rowpart, didx_a, axis=1)
         asub = asub - tau * jnp.outer(v, v @ asub)
-        rowblk = rowblk.at[ii, didx_a].set(asub)
-        wb = lax.dynamic_update_slice(wb, rowblk, (pad + p, 0))
-        colblk = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
-        bsub = jnp.take_along_axis(colblk, didx_b, axis=1)
+        rowpart = rowpart.at[ii, didx_a].set(asub)
+        B = lax.dynamic_update_slice(B, rowpart, (b + 1, 0))
+        bsub = jnp.take_along_axis(B, didx_b, axis=1)
         bsub = bsub - tau * jnp.outer(bsub @ v, v)
-        colblk = colblk.at[i2, didx_b].set(bsub)
-        wb = lax.dynamic_update_slice(wb, colblk, (pad + p - b - 1, 0))
+        B = B.at[i2, didx_b].set(bsub)
+        wb = lax.dynamic_update_slice(wb, B, (pad + p - b - 1, 0))
         HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
         HTc = HTc.at[t].set(tau)
         return (wb, HVc, HTc)

@@ -221,8 +221,11 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
     if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
         return z
     # g > bw would create non-adjacent-position overlaps inside a group,
-    # which the ascending-t order does not protect — clamp.
-    g = min(group if group > 0 else 32, b)
+    # which the ascending-t order does not protect — clamp.  TPU default
+    # g=bw: the (g, bw+g-1) WY GEMMs then fill full MXU tiles.
+    if group <= 0:
+        group = b if jax.default_backend() == "tpu" else 32
+    g = min(group, b)
     nsweeps = n - 2
     n_groups = -(-nsweeps // g)
     L = b + g - 1
@@ -406,7 +409,9 @@ def apply_chase_q_blocked_sharded(res: ChaseResult, z: jax.Array, bw: int,
     T = res.HV.shape[1]
     if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
         return z
-    g = min(group if group > 0 else 32, b)
+    if group <= 0:
+        group = b if jax.default_backend() == "tpu" else 32
+    g = min(group, b)
     nsweeps = n - 2
     axes = tuple(mesh.axis_names)
     nP = 1

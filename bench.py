@@ -67,10 +67,27 @@ def main() -> None:
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    # Probe the backend once; if the TPU is unreachable (it can hang for
-    # ~25 min then fail UNAVAILABLE when the compile service is wedged),
-    # fall back to CPU so the round still records an honest, labeled
+    # Probe the backend with a BOUNDED subprocess first: a wedged axon
+    # relay makes in-process jax.devices() block ~25 min before failing
+    # UNAVAILABLE (observed repeatedly in rounds 1-2).  The subprocess
+    # probe times out safely (nothing is in flight server-side when the
+    # relay is down), and the round records an honest, labeled CPU
     # number instead of rc=1.
+    if not plat:
+        import subprocess
+        probe_t = int(os.environ.get("EK_TPU_PROBE_TIMEOUT", "900"))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                timeout=probe_t, capture_output=True, text=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print("# TPU probe failed/timed out; falling back to cpu",
+                  file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
     try:
         platform = jax.devices()[0].platform
     except RuntimeError as exc:

@@ -61,3 +61,28 @@ def test_two_process_cli(tmp_path):
     v1 = np.loadtxt(files[0])[:, 2]
     assert abs(np.linalg.norm(v1) - 1.0) > -1  # parse sanity
 
+
+@pytest.mark.skipif(not os.path.exists(_MAT), reason="no sample matrices")
+def test_two_process_master_error_no_deadlock(tmp_path):
+    # missing input on the master: BOTH processes must exit 1 promptly
+    # (coherent error broadcast, main.f90:65-68 parity) — not deadlock
+    app = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "eigenkernel_app")
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["EK_COORDINATOR"] = f"localhost:{port}"
+    env_base["EK_NUM_PROCESSES"] = "2"
+    args = [sys.executable, app, "--platform", "cpu", "--mesh", "2,4",
+            "-s", "scalapack", str(tmp_path / "missing.mtx")]
+    procs = []
+    for pid in (1, 0):
+        env = dict(env_base)
+        env["EK_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            args, cwd=tmp_path, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=120)[0].decode() for p in procs]
+    assert all(p.returncode == 1 for p in procs), outs[0][-500:]
+    assert any("[Error]" in o for o in outs)
+

@@ -15,13 +15,11 @@ Design (TPU-first, not a ScaLAPACK translation):
   every GEMM inside the blocked loops is then partitioned by XLA GSPMD into
   local matmuls + ICI collectives.  There are no descriptors, communicators,
   or explicit messages — the sharding annotation *is* the distribution.
-* **Uniform schedules**: the panel loops are single ``lax.fori_loop``s over
-  full-size arrays with dynamic slices and row masks, so each kernel is ONE
-  XLA computation regardless of n (vs. the n/b distinct trailing shapes a
-  ScaLAPACK-style shrinking loop would compile).  Masked full-width updates
-  spend extra MXU flops on zeros; on TPU that is the right trade — compile
-  time and pipeline-able uniform GEMMs dominate.  (A power-of-two bucketed
-  schedule that recovers the flop constant is the planned refinement.)
+* **Bucketed (recursive-bisection) schedules**: each kernel splits at the
+  half point and recurses on the exact trailing block, so the bulk is
+  exact-size sharded GEMMs at the optimal flop constants while only
+  O(log n) distinct shapes compile (vs. the n/b distinct trailing shapes
+  a ScaLAPACK-style shrinking loop would force on XLA).
 * Panel factorizations on ``block x block`` diagonal tiles are computed
   replicated on every device (cheap at O(b^3), avoids a latency-bound
   round-trip), the same trade ScaLAPACK makes by serializing panels on one

@@ -16,11 +16,12 @@ is one XLA computation (two nested fori_loops) with O(n^2 bw) flops — no
 O(n^3) matvecs.
 
 The chase reflectors are stored per (sweep, position).  Within one sweep
-the positions own DISJOINT row windows ``[c+1+t*bw, c+1+(t+1)*bw)``, so the
-back-transform applies a whole sweep to the eigenvector block as one
-batched rank-1 update (einsum over the position axis) — n sequential steps
-of full-width work instead of n^2/bw rank-1s.  (WY-grouping consecutive
-sweeps, ELPA2's trick, is the planned next refinement.)
+the positions own DISJOINT row windows ``[c+1+t*bw, c+1+(t+1)*bw)``, so
+the per-sweep back-transform applies a whole sweep as one batched rank-1
+update; the default :func:`apply_chase_q_blocked` goes further and
+WY-groups g consecutive sweeps per position (ELPA2's trick), and
+:func:`apply_chase_q_blocked_sharded` streams it across a mesh with
+column-sharded z and a sweep-sharded reflector store.
 """
 
 from __future__ import annotations

@@ -55,6 +55,27 @@ def test_dc_wilkinson():
     _check(k, np.ones(n - 1))
 
 
+def test_dc_adversarial():
+    rng = np.random.default_rng(17)
+    # glued Wilkinson: many near-double pairs across merge boundaries
+    blocks = 6
+    k = np.abs(np.arange(21) - 10).astype(float)
+    d = np.tile(k, blocks)
+    e = np.ones(21 * blocks - 1)
+    e[20::21] = 1e-8
+    _check(d, e)
+    # alternating tiny/large couplings
+    d = rng.standard_normal(300)
+    e = np.where(np.arange(299) % 2 == 0, 1e-13, 1.0) \
+        * rng.standard_normal(299)
+    _check(d, e)
+    # 16-decade scale gradient across merges
+    d = np.concatenate([rng.standard_normal(96) * 1e8,
+                        rng.standard_normal(96),
+                        rng.standard_normal(96) * 1e-8])
+    _check(d, rng.standard_normal(287))
+
+
 def test_dc_edge_cases():
     _check(np.zeros(100), np.zeros(99))           # zero matrix
     _check(np.ones(96), np.zeros(95))             # fully deflated

@@ -78,6 +78,14 @@ def jacobi(n: int, sweeps: int = 8) -> float:
     return 12.0 * sweeps * n ** 3
 
 
+def qdwh_dc(n: int) -> float:
+    # per split node at size m: ~7-iteration sign (QR iters ~5 m^3, chol
+    # iters ~3 m^3 each -> ~22 m^3) + CholQR2 (~5 m^3) + rotation GEMMs
+    # (4 m^3) + vector assembly (2 m^3) ~ 33 m^3; the balanced tree sums
+    # sum_l 2^l (m/2^l)^3 = m^3 / (1 - 1/4) -> ~44 n^3
+    return 44.0 * n ** 3
+
+
 def eigh(n: int) -> float:
     # dense symmetric eigensolver nominal count (~9 n^3 for QDWH-eig is
     # implementation-specific; use the LAPACK-style 4/3 n^3 + 4 n^3)
@@ -99,6 +107,10 @@ def pipeline_flops(core: str, generalized: bool, reduction: str,
     elif core == "two_stage":
         total += (full_to_band(n, bw) + band_to_tridiag(n, bw) + tri_fl
                   + back_transform_two_stage(n, k))
+    elif core == "jacobi":
+        total += jacobi(n)
+    elif core == "qdwh":
+        total += qdwh_dc(n)
     else:  # eigh
         total += eigh(n)
     return total

@@ -146,7 +146,8 @@ def _j_sentinelize(a, n_real):
 # SEP cores on the (padded) standard problem
 # ----------------------------------------------------------------------
 
-def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
+def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int,
+                  n_real: Optional[int] = None):
     """pdsytrd + tridiagonal-solve + pdormtr analog (see module doc)."""
     from eigenkernel_tpu.obs import flops as fl
 
@@ -164,13 +165,15 @@ def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
     return w, z
 
 
-def sep_two_stage(ctx: SolverContext, a: jax.Array, n_vec: int):
+def sep_two_stage(ctx: SolverContext, a: jax.Array, n_vec: int,
+                  n_real: Optional[int] = None):
     """eigen_sx / ELPA2 analog: full->band, band->tridiag, then solve."""
     from eigenkernel_tpu.solvers.twostage import sep_two_stage as impl
     return impl(ctx, a, n_vec)
 
 
-def sep_eigh(ctx: SolverContext, a: jax.Array, n_vec: int):
+def sep_eigh(ctx: SolverContext, a: jax.Array, n_vec: int,
+             n_real: Optional[int] = None):
     """XLA QDWH-eig (the library baseline; single-shot jit)."""
     from eigenkernel_tpu.obs import flops as fl
 
@@ -185,7 +188,8 @@ def _j_jacobi(a, block, mesh):
     return block_jacobi_eigh(a, block=block, mesh=mesh)
 
 
-def sep_jacobi(ctx: SolverContext, a: jax.Array, n_vec: int):
+def sep_jacobi(ctx: SolverContext, a: jax.Array, n_vec: int,
+               n_real: Optional[int] = None):
     """Block-Jacobi core (TPU extra family, ops/jacobi.py): no sequential
     panel recurrence at all — batched pair eigh + full-width GEMMs."""
     from eigenkernel_tpu.obs import flops as fl
@@ -195,11 +199,28 @@ def sep_jacobi(ctx: SolverContext, a: jax.Array, n_vec: int):
     return w[:n_vec], z[:, :n_vec]
 
 
+def sep_qdwh(ctx: SolverContext, a: jax.Array, n_vec: int,
+             n_real: Optional[int] = None):
+    """QDWH spectral divide-and-conquer core (TPU extra family,
+    ops/qdwh.py): host-level recursion over bucketed static-shape jits —
+    not fusable into one jit, so it runs only on the staged solve() path."""
+    from eigenkernel_tpu.obs import flops as fl
+    from eigenkernel_tpu.ops.qdwh import spectral_dc_eigh
+
+    def run(x):
+        return spectral_dc_eigh(x, n_real=n_real, block=ctx.gemm_block,
+                                mesh=ctx.mesh)
+
+    w, z = _run(ctx, "sep:qdwh_dc", run, a, flops=fl.qdwh_dc(a.shape[0]))
+    return w[:n_vec], z[:, :n_vec]
+
+
 SEP_CORES = {
     "one_stage": sep_one_stage,
     "two_stage": sep_two_stage,
     "eigh": sep_eigh,
     "jacobi": sep_jacobi,
+    "qdwh": sep_qdwh,
 }
 
 
@@ -211,7 +232,7 @@ def standard_pipeline(ctx: SolverContext, a: jax.Array, n_vec: int,
                       n_real: int, core: str):
     """Standard EVP: sentinel-pad, run the SEP core, slice real rows."""
     a = _j_sentinelize(a, n_real)
-    w, z = SEP_CORES[core](ctx, a, n_vec)
+    w, z = SEP_CORES[core](ctx, a, n_vec, n_real=n_real)
     return w, z
 
 
@@ -236,7 +257,7 @@ def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
                              a, b, ctx.gemm_block, ctx.mesh,
                              flops=fl.reduce_scalapack(n))
     a_std = _j_sentinelize(a_std, n_real)
-    w, z = SEP_CORES[core](ctx, a_std, n_vec)
+    w, z = SEP_CORES[core](ctx, a_std, n_vec, n_real=n_real)
     recover_style = "elpa" if reduction_style == "elpa" else "scalapack"
     x = _run(ctx, "recovery_generalized", _j_recover,
              factor, recover_style, z, ctx.gemm_block, ctx.mesh,

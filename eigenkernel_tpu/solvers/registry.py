@@ -98,6 +98,13 @@ SOLVERS: dict[str, SolverSpec] = {s.name: s for s in [
     _s("general_jacobi", True, False, "extra", "jacobi", "elpa",
        description="ELPA-style reduction + block-Jacobi core "
                    "(TPU-native extra)"),
+    _s("qdwh_dc", False, False, "extra", "qdwh", None,
+       description="in-tree QDWH polar spectral divide-and-conquer: "
+                   "sign-function projector splitting, all-GEMM critical "
+                   "path (TPU-native extra)"),
+    _s("general_qdwh_dc", True, False, "extra", "qdwh", "elpa",
+       description="ELPA-style reduction + QDWH spectral D&C core "
+                   "(TPU-native extra)"),
 ]}
 
 

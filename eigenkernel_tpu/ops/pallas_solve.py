@@ -36,13 +36,17 @@ def _solve_kernel(d_ref, el_ref, er_ref, lam_ref, b_ref,
                   bt, ut, yt, xt, sem,
                   *, n: int, tiny: float):
     """One grid program: 1024 lanes (8x128), full row sweep over n."""
+    # b/x/u/y live in ANY (= HBM) space: real-TPU lowering requires such
+    # blocks to be the WHOLE array with a trivial index map, so the grid
+    # coordinate is applied here, inside the manual DMA slices
+    gi = pl.program_id(0)
     lam = lam_ref[0]                       # (8, 128)
     nchunks = n // _ROWS
 
     def fwd_chunk(ci, carry):
         u_prev, y_prev = carry
         cp = pltpu.make_async_copy(
-            b_ref.at[0, pl.ds(ci * _ROWS, _ROWS)], bt, sem)
+            b_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)], bt, sem)
         cp.start()
         cp.wait()
 
@@ -61,11 +65,11 @@ def _solve_kernel(d_ref, el_ref, er_ref, lam_ref, b_ref,
             return (u, y)
 
         carry = lax.fori_loop(0, _ROWS, row, (u_prev, y_prev))
-        cpu = pltpu.make_async_copy(ut, u_ref.at[0, pl.ds(ci * _ROWS, _ROWS)],
+        cpu = pltpu.make_async_copy(ut, u_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)],
                                     sem)
         cpu.start()
         cpu.wait()
-        cpy = pltpu.make_async_copy(yt, y_ref.at[0, pl.ds(ci * _ROWS, _ROWS)],
+        cpy = pltpu.make_async_copy(yt, y_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)],
                                     sem)
         cpy.start()
         cpy.wait()
@@ -77,11 +81,11 @@ def _solve_kernel(d_ref, el_ref, er_ref, lam_ref, b_ref,
 
     def bwd_chunk(cj, x_next):
         ci = nchunks - 1 - cj
-        cpu = pltpu.make_async_copy(u_ref.at[0, pl.ds(ci * _ROWS, _ROWS)],
+        cpu = pltpu.make_async_copy(u_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)],
                                     ut, sem)
         cpu.start()
         cpu.wait()
-        cpy = pltpu.make_async_copy(y_ref.at[0, pl.ds(ci * _ROWS, _ROWS)],
+        cpy = pltpu.make_async_copy(y_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)],
                                     yt, sem)
         cpy.start()
         cpy.wait()
@@ -95,7 +99,7 @@ def _solve_kernel(d_ref, el_ref, er_ref, lam_ref, b_ref,
             return x
 
         x_next = lax.fori_loop(0, _ROWS, row, x_next)
-        cpx = pltpu.make_async_copy(xt, x_ref.at[0, pl.ds(ci * _ROWS, _ROWS)],
+        cpx = pltpu.make_async_copy(xt, x_ref.at[gi, pl.ds(ci * _ROWS, _ROWS)],
                                     sem)
         cpx.start()
         cpx.wait()
@@ -142,16 +146,12 @@ def tridiag_solve_pallas(d: jax.Array, e: jax.Array, lam: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, _LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, _SUB, _LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, npad, _SUB, _LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((1, npad, _SUB, _LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((1, npad, _SUB, _LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[shape4, shape4, shape4],
         scratch_shapes=[

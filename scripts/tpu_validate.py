@@ -118,14 +118,18 @@ def main():
     except Exception as exc:
         emit("wavefront_chase", ok=False, err=repr(exc)[:300])
 
-    # --- back-transform: blocked + pallas vs per-sweep
+    # --- back-transform: blocked + pallas vs per-sweep.  The comparison
+    # GEMMs must run at 'highest' matmul precision: TPU lowers f32 matmuls
+    # to bf16 passes by default, which reads as a ~1e-1 path mismatch
+    # (observed 0.08) when it is really baseline rounding.
     try:
         from eigenkernel_tpu.ops import bulge
         from eigenkernel_tpu.ops.pallas_backtransform import (
             apply_chase_q_pallas)
         z = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
-        z_ref = np.asarray(bulge.apply_chase_q(r_seq, z, bw=bw))
-        z_blk = np.asarray(bulge.apply_chase_q_blocked(r_seq, z, bw=bw))
+        with jax.default_matmul_precision("highest"):
+            z_ref = np.asarray(bulge.apply_chase_q(r_seq, z, bw=bw))
+            z_blk = np.asarray(bulge.apply_chase_q_blocked(r_seq, z, bw=bw))
         err_b = float(np.abs(z_ref - z_blk).max())
         emit("blocked_bt", ok=err_b < 1e-4, err_val=err_b)
         t0 = time.time()

@@ -131,6 +131,17 @@ def main() -> None:
     resid, orth = _sync_scalar(resid), _sync_scalar(orth)
     stage_times = {e["name"]: round(e["val"], 4) for e in log.events()}
 
+    log_path = os.environ.get("EK_BENCH_LOG")
+    if log_path:
+        # reference-schema log.json evidence of the measured run
+        from eigenkernel_tpu.io.outputs import write_log_json
+        write_log_json(log_path, {
+            "command": "bench.py", "dim": n, "dtype": dtype_name,
+            "solver_type": solver, "block_size": block,
+            "platform": platform,
+            "device_kind": jax.devices()[0].device_kind,
+        }, log)
+
     # model flops -> TFLOP/s and fraction of chip peak (BASELINE.md asks
     # for >40% of matmul peak at scale; EigenExa self-reports GFLOPS)
     from eigenkernel_tpu.obs import flops as fl

@@ -11,6 +11,16 @@ the rows) run at VMEM bandwidth.
 
 Reflector data (HV: (n, T, bw), HT: (n, T)) is DMA'd from HBM per sweep
 (~T*bw*4 bytes, double-buffered across sweeps).
+
+Hardware status (2026-08-16, TPU v5e): interpret-validated only.  Real-TPU
+Mosaic rejects the per-sweep window slice ``out_ref[c+1 : c+1+tb]`` —
+dynamic sublane offsets must be provably multiples of 8, and the chase
+window walks every row.  The fix is a shifted-reflector formulation
+(align the slice down to 8, pre-shift HV by (c+1) mod 8 outside the
+kernel, mask the two-piece coefficient sums); until then the WY-grouped
+blocked path (bulge.apply_chase_q_blocked, hardware-validated) is the
+production default — at group g=bw it already reads Z ~once, so this
+kernel's remaining advantage is small.
 """
 
 from __future__ import annotations
@@ -61,8 +71,11 @@ def _backtransform_kernel(hv_ref, ht_ref, z_ref, out_ref,
         tau = ht_s[slot]                    # (T,)... stored (T, 1)
         zwin = out_ref[pl.ds(c + 1, tb), :]          # (T*bw, TK)
         zw = zwin.reshape(t_dim, bw, zwin.shape[-1])
-        coef = jnp.einsum("tb,tbk->tk", v, zw,
-                          preferred_element_type=zw.dtype) * tau
+        # multiply+sum instead of a batched dot: Mosaic mis-emits the
+        # TPU_DotDimensionNumbers attr for "tb,tbk->tk" (parse error on
+        # lhs_non_contracting_dims); the op is bandwidth-bound VPU work
+        # either way
+        coef = jnp.sum(v[:, :, None] * zw, axis=1) * tau
         zw = zw - v[:, :, None] * coef[:, None, :]
         out_ref[pl.ds(c + 1, tb), :] = zw.reshape(tb, zwin.shape[-1])
         return 0

@@ -9,18 +9,24 @@ reflectors over it — Z is read and written exactly once per tile, and the
 per-sweep batched rank-1 updates (one sweep's windows are disjoint and tile
 the rows) run at VMEM bandwidth.
 
-Reflector data (HV: (n, T, bw), HT: (n, T)) is DMA'd from HBM per sweep
-(~T*bw*4 bytes, double-buffered across sweeps).
+Real-TPU alignment design: Mosaic requires dynamic sublane (row) offsets to
+be provably multiples of 8, but sweep c's window starts at row c+1 — every
+alignment.  So the kernel slices the 8-ALIGNED superset window
+``[base, base + (T+1)*bw)`` with ``base = 8*((c+1)//8)`` (annotated via
+``pl.multiple_of``), and the reflectors are PRE-SHIFTED outside the kernel:
+``W[c]`` is sweep c's flat reflector vector placed at offset
+``off = (c+1) - base`` in a ``(T+1, bw)`` tile-blocked layout (one XLA
+gather over the whole store).  Each tile block t then holds the HEAD
+(rows >= off) of window t and the TAIL (rows < off) of window t-1, and the
+coefficient sums / rank-1 updates split into two masked pieces with ``off``
+as a traced scalar:
 
-Hardware status (2026-08-16, TPU v5e): interpret-validated only.  Real-TPU
-Mosaic rejects the per-sweep window slice ``out_ref[c+1 : c+1+tb]`` —
-dynamic sublane offsets must be provably multiples of 8, and the chase
-window walks every row.  The fix is a shifted-reflector formulation
-(align the slice down to 8, pre-shift HV by (c+1) mod 8 outside the
-kernel, mask the two-piece coefficient sums); until then the WY-grouped
-blocked path (bulge.apply_chase_q_blocked, hardware-validated) is the
-production default — at group g=bw it already reads Z ~once, so this
-kernel's remaining advantage is small.
+    S_head[t] = sum_{r>=off} W[t,r] z[t,r,:],  S_tail likewise (r<off)
+    coef[tw]  = S_head[tw] + S_tail[tw+1]
+    z[t,r,:] -= W[t,r] * (r>=off ? tau*coef[t] : tau*coef[t-1])
+
+Reflector data (W: (n, T+1, bw), HT: (n, T)) is DMA'd from HBM per sweep,
+double-buffered across sweeps.
 """
 
 from __future__ import annotations
@@ -37,15 +43,16 @@ from jax.experimental.pallas import tpu as pltpu
 _TK = 256    # eigenvector columns per grid program
 
 
-def _backtransform_kernel(hv_ref, ht_ref, z_ref, out_ref,
-                          hv_s, ht_s, sem_v, sem_t,
+def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
+                          w_s, ht_s, sem_v, sem_t,
                           *, n: int, t_dim: int, bw: int):
     out_ref[...] = z_ref[...]
     nsweeps = n - 2
-    tb = t_dim * bw
+    tp = t_dim + 1
+    tbp = tp * bw
 
     def get_dma(slot, c):
-        return (pltpu.make_async_copy(hv_ref.at[c], hv_s.at[slot],
+        return (pltpu.make_async_copy(w_ref.at[c], w_s.at[slot],
                                       sem_v.at[slot]),
                 pltpu.make_async_copy(ht_ref.at[c], ht_s.at[slot],
                                       sem_t.at[slot]))
@@ -53,6 +60,8 @@ def _backtransform_kernel(hv_ref, ht_ref, z_ref, out_ref,
     dv, dt = get_dma(0, nsweeps - 1)
     dv.start()
     dt.start()
+
+    rr = lax.broadcasted_iota(jnp.int32, (tp, bw), 1)   # r index per block
 
     def sweep(i, _):
         c = nsweeps - 1 - i
@@ -67,17 +76,25 @@ def _backtransform_kernel(hv_ref, ht_ref, z_ref, out_ref,
         dv, dt = get_dma(slot, c)
         dv.wait()
         dt.wait()
-        v = hv_s[slot]                      # (T, bw)
-        tau = ht_s[slot]                    # (T,)... stored (T, 1)
-        zwin = out_ref[pl.ds(c + 1, tb), :]          # (T*bw, TK)
-        zw = zwin.reshape(t_dim, bw, zwin.shape[-1])
-        # multiply+sum instead of a batched dot: Mosaic mis-emits the
-        # TPU_DotDimensionNumbers attr for "tb,tbk->tk" (parse error on
-        # lhs_non_contracting_dims); the op is bandwidth-bound VPU work
-        # either way
-        coef = jnp.sum(v[:, :, None] * zw, axis=1) * tau
-        zw = zw - v[:, :, None] * coef[:, None, :]
-        out_ref[pl.ds(c + 1, tb), :] = zw.reshape(tb, zwin.shape[-1])
+        w = w_s[slot]                       # (T+1, bw) pre-shifted
+        tau = ht_s[slot]                    # (T, 1)
+        base = pl.multiple_of(8 * ((c + 1) // 8), 8)
+        off = (c + 1) - 8 * ((c + 1) // 8)  # 0..7, traced
+        zwin = out_ref[pl.ds(base, tbp), :]          # (tbp, TK)
+        zw = zwin.reshape(tp, bw, zwin.shape[-1])
+        head = (rr >= off).astype(zw.dtype)          # (T+1, bw)
+        wz = w[:, :, None] * zw
+        s_head = jnp.sum(wz * head[:, :, None], axis=1)     # (T+1, TK)
+        s_tail = jnp.sum(wz * (1.0 - head)[:, :, None], axis=1)
+        coef = s_head[:t_dim] + s_tail[1:]                   # (T, TK)
+        tcoef = tau * coef                                   # (T, TK)
+        zero = jnp.zeros_like(tcoef[:1])
+        t_head = jnp.concatenate([tcoef, zero], axis=0)      # coef for r>=off
+        t_tail = jnp.concatenate([zero, tcoef], axis=0)      # coef for r<off
+        pick = jnp.where(head[:, :, None] > 0,
+                         t_head[:, None, :], t_tail[:, None, :])
+        zw = zw - w[:, :, None] * pick
+        out_ref[pl.ds(base, tbp), :] = zw.reshape(tbp, zwin.shape[-1])
         return 0
 
     lax.fori_loop(0, nsweeps, sweep, 0)
@@ -93,16 +110,28 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
     if n <= 2 or bw <= 1:
         return z
     kpad = ((k + _TK - 1) // _TK) * _TK
-    rows_pad = n + (t_dim + 2) * bw
+    rows_pad = -(-(n + (t_dim + 2) * bw + 8) // 8) * 8
     zp = jnp.zeros((rows_pad, kpad), dtype)
     zp = lax.dynamic_update_slice(zp, z, (0, 0))
+
+    # pre-shift the reflector store: sweep c's flat (T*bw,) vector lands at
+    # offset (c+1) mod 8 inside a (T+1)*bw row-tile (one gather pass)
+    tbp = (t_dim + 1) * bw
+    hv_flat = hv.reshape(n, t_dim * bw)
+    offs = (jnp.arange(n, dtype=jnp.int32) + 1) % 8
+    idx = jnp.arange(tbp, dtype=jnp.int32)[None, :] - offs[:, None]
+    valid = (idx >= 0) & (idx < t_dim * bw)
+    w_shift = jnp.where(
+        valid, jnp.take_along_axis(hv_flat, jnp.clip(idx, 0, t_dim * bw - 1),
+                                   axis=1), 0)
+    w_shift = w_shift.reshape(n, t_dim + 1, bw)
     ht3 = ht[..., None]                     # (n, T, 1) — keep 2D tiles
 
     out = pl.pallas_call(
         functools.partial(_backtransform_kernel, n=n, t_dim=t_dim, bw=bw),
         grid=(kpad // _TK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # HV (n, T, bw) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # W (n, T+1, bw) in HBM
             pl.BlockSpec(memory_space=pltpu.ANY),   # HT (n, T, 1) in HBM
             pl.BlockSpec((rows_pad, _TK), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
@@ -111,11 +140,11 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, kpad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, t_dim, bw), dtype),
+            pltpu.VMEM((2, t_dim + 1, bw), dtype),
             pltpu.VMEM((2, t_dim, 1), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(hv, ht3, zp)
+    )(w_shift, ht3, zp)
     return out[:n, :k]

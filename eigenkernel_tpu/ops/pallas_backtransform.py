@@ -9,24 +9,33 @@ reflectors over it — Z is read and written exactly once per tile, and the
 per-sweep batched rank-1 updates (one sweep's windows are disjoint and tile
 the rows) run at VMEM bandwidth.
 
-Real-TPU alignment design: Mosaic requires dynamic sublane (row) offsets to
-be provably multiples of 8, but sweep c's window starts at row c+1 — every
-alignment.  So the kernel slices the 8-ALIGNED superset window
-``[base, base + (T+1)*bw)`` with ``base = 8*((c+1)//8)`` (annotated via
-``pl.multiple_of``), and the reflectors are PRE-SHIFTED outside the kernel:
-``W[c]`` is sweep c's flat reflector vector placed at offset
-``off = (c+1) - base`` in a ``(T+1, bw)`` tile-blocked layout (one XLA
-gather over the whole store).  Each tile block t then holds the HEAD
-(rows >= off) of window t and the TAIL (rows < off) of window t-1, and the
-coefficient sums / rank-1 updates split into two masked pieces with ``off``
-as a traced scalar:
+Real-TPU lowering constraints shape the design (all hit on hardware, none
+visible in interpret mode):
 
-    S_head[t] = sum_{r>=off} W[t,r] z[t,r,:],  S_tail likewise (r<off)
-    coef[tw]  = S_head[tw] + S_tail[tw+1]
-    z[t,r,:] -= W[t,r] * (r>=off ? tau*coef[t] : tau*coef[t-1])
+* dynamic sublane (row) offsets must be provably multiples of 8, but sweep
+  c's window starts at row c+1 — every alignment.  So the kernel slices the
+  8-ALIGNED superset window ``[base, base + tp*bw)`` with
+  ``base = 8*((c+1)//8)`` (annotated via ``pl.multiple_of``), and the
+  reflectors are PRE-SHIFTED outside the kernel: ``W[c]`` is sweep c's flat
+  reflector vector placed at offset ``off = (c+1) - base`` in a
+  ``(tp, bw)`` tile-blocked layout (one XLA gather over the whole store).
+  Tile block t then holds the HEAD (rows >= off) of window t and the TAIL
+  (rows < off) of window t-1; coefficients and updates split into two
+  masked pieces with ``off`` as a traced scalar:
 
-Reflector data (W: (n, T+1, bw), HT: (n, T)) is DMA'd from HBM per sweep,
-double-buffered across sweeps.
+      S_head[t] = sum_{r>=off} W[t,r] z[t,r,:],  S_tail likewise (r<off)
+      coef[t]   = S_head[t] + S_tail[t+1]
+      z[t,r,:] -= W[t,r] * (r>=off ? tau[t]*coef[t] : tau[t-1]*coef[t-1])
+
+* DMA'd blocks must keep tile-aligned trailing dims: the T axis of the
+  reflector store is padded to a multiple of 8 (zero rows are exact
+  no-ops) and tau is broadcast across a 128-lane axis.  The bw (lane) axis
+  must itself be a multiple of 128 on hardware — true for the production
+  panel widths; smaller bw falls back to the (hardware-validated)
+  WY-grouped blocked path.
+
+Reflector data (W: (n, tp, bw), HT: (n, tp, 128)) is DMA'd from HBM per
+sweep, double-buffered across sweeps.
 """
 
 from __future__ import annotations
@@ -45,10 +54,9 @@ _TK = 256    # eigenvector columns per grid program
 
 def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
                           w_s, ht_s, sem_v, sem_t,
-                          *, n: int, t_dim: int, bw: int):
+                          *, n: int, tp: int, bw: int):
     out_ref[...] = z_ref[...]
     nsweeps = n - 2
-    tp = t_dim + 1
     tbp = tp * bw
 
     def get_dma(slot, c):
@@ -76,23 +84,23 @@ def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
         dv, dt = get_dma(slot, c)
         dv.wait()
         dt.wait()
-        w = w_s[slot]                       # (T+1, bw) pre-shifted
-        tau = ht_s[slot]                    # (T, 1)
+        w = w_s[slot]                       # (tp, bw) pre-shifted
+        # tau is lane-replicated; a max-reduce recovers the (tp, 1) column
+        tau = jnp.max(ht_s[slot], axis=1, keepdims=True)
         base = pl.multiple_of(8 * ((c + 1) // 8), 8)
         off = (c + 1) - 8 * ((c + 1) // 8)  # 0..7, traced
         zwin = out_ref[pl.ds(base, tbp), :]          # (tbp, TK)
         zw = zwin.reshape(tp, bw, zwin.shape[-1])
-        head = (rr >= off).astype(zw.dtype)          # (T+1, bw)
+        head = (rr >= off).astype(zw.dtype)          # (tp, bw)
         wz = w[:, :, None] * zw
-        s_head = jnp.sum(wz * head[:, :, None], axis=1)     # (T+1, TK)
+        s_head = jnp.sum(wz * head[:, :, None], axis=1)     # (tp, TK)
         s_tail = jnp.sum(wz * (1.0 - head)[:, :, None], axis=1)
-        coef = s_head[:t_dim] + s_tail[1:]                   # (T, TK)
-        tcoef = tau * coef                                   # (T, TK)
-        zero = jnp.zeros_like(tcoef[:1])
-        t_head = jnp.concatenate([tcoef, zero], axis=0)      # coef for r>=off
-        t_tail = jnp.concatenate([zero, tcoef], axis=0)      # coef for r<off
+        zero = jnp.zeros_like(s_tail[:1])
+        coef = s_head + jnp.concatenate([s_tail[1:], zero], axis=0)
+        tcoef = tau * coef                                   # (tp, TK)
+        t_tail = jnp.concatenate([zero, tcoef[:-1]], axis=0)
         pick = jnp.where(head[:, :, None] > 0,
-                         t_head[:, None, :], t_tail[:, None, :])
+                         tcoef[:, None, :], t_tail[:, None, :])
         zw = zw - w[:, :, None] * pick
         out_ref[pl.ds(base, tbp), :] = zw.reshape(tbp, zwin.shape[-1])
         return 0
@@ -110,13 +118,14 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
     if n <= 2 or bw <= 1:
         return z
     kpad = ((k + _TK - 1) // _TK) * _TK
-    rows_pad = -(-(n + (t_dim + 2) * bw + 8) // 8) * 8
+    tp = -(-(t_dim + 1) // 8) * 8            # T+1 padded to sublane tiling
+    tbp = tp * bw
+    rows_pad = -(-(n + tbp + 8) // 8) * 8
     zp = jnp.zeros((rows_pad, kpad), dtype)
     zp = lax.dynamic_update_slice(zp, z, (0, 0))
 
     # pre-shift the reflector store: sweep c's flat (T*bw,) vector lands at
-    # offset (c+1) mod 8 inside a (T+1)*bw row-tile (one gather pass)
-    tbp = (t_dim + 1) * bw
+    # offset (c+1) mod 8 inside a (tp*bw,) row-tile (one gather pass)
     hv_flat = hv.reshape(n, t_dim * bw)
     offs = (jnp.arange(n, dtype=jnp.int32) + 1) % 8
     idx = jnp.arange(tbp, dtype=jnp.int32)[None, :] - offs[:, None]
@@ -124,15 +133,18 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
     w_shift = jnp.where(
         valid, jnp.take_along_axis(hv_flat, jnp.clip(idx, 0, t_dim * bw - 1),
                                    axis=1), 0)
-    w_shift = w_shift.reshape(n, t_dim + 1, bw)
-    ht3 = ht[..., None]                     # (n, T, 1) — keep 2D tiles
+    w_shift = w_shift.reshape(n, tp, bw)
+    # tau: pad T -> tp (zero rows = identity reflectors) and replicate
+    # across a 128-lane axis so the DMA'd block is tile-aligned
+    ht_pad = jnp.zeros((n, tp), dtype).at[:, :t_dim].set(ht)
+    ht_b = jnp.broadcast_to(ht_pad[..., None], (n, tp, 128))
 
     out = pl.pallas_call(
-        functools.partial(_backtransform_kernel, n=n, t_dim=t_dim, bw=bw),
+        functools.partial(_backtransform_kernel, n=n, tp=tp, bw=bw),
         grid=(kpad // _TK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # W (n, T+1, bw) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # HT (n, T, 1) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # W (n, tp, bw) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # HT (n, tp, 128) in HBM
             pl.BlockSpec((rows_pad, _TK), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
@@ -140,11 +152,11 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_pad, kpad), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, t_dim + 1, bw), dtype),
-            pltpu.VMEM((2, t_dim, 1), dtype),
+            pltpu.VMEM((2, tp, bw), dtype),
+            pltpu.VMEM((2, tp, 128), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(w_shift, ht3, zp)
+    )(w_shift, ht_b, zp)
     return out[:n, :k]

@@ -81,3 +81,23 @@ def test_apply_chase_q_pallas():
     out = np.array(apply_chase_q_pallas(res.HV, res.HT, z, bw,
                                         interpret=True))
     assert np.abs(out - ref).max() < 1e-13
+
+
+def test_apply_chase_q_pallas_production_shape():
+    # bw=128-multiple lane-aligned shape (the hardware-supported regime)
+    # with T+1 NOT a multiple of 8, exercising the tp zero-row padding
+    from eigenkernel_tpu.ops.bulge import apply_chase_q, band_to_tridiag
+    from eigenkernel_tpu.ops.pallas_backtransform import apply_chase_q_pallas
+
+    rng = np.random.default_rng(5)
+    n, bw = 384, 128
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    A = np.where(np.abs(i - j) <= bw, A, 0.0)
+    res = band_to_tridiag(jnp.asarray(A), bw)
+    z = jnp.asarray(rng.standard_normal((n, 17)))
+    ref = np.array(apply_chase_q(res, z, bw))
+    out = np.array(apply_chase_q_pallas(res.HV, res.HT, z, bw,
+                                        interpret=True))
+    assert np.abs(out - ref).max() < 1e-12

@@ -213,7 +213,11 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
     idx = jnp.arange(K)
     init = (jnp.asarray(False), jnp.asarray(0, idx.dtype),
             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
-    (has_p, ip, dp, up), outs = lax.scan(t2step, init, (idx, ds, us, alive))
+    # unroll: the scan is K steps of O(1) scalar work — loop-control
+    # overhead dominates on TPU; 8-way unrolling cuts it without changing
+    # the sequential recurrence
+    (has_p, ip, dp, up), outs = lax.scan(t2step, init, (idx, ds, us, alive),
+                                         unroll=8)
     fin_idx, fin_d, fin_u, fin_valid, rot_ip, rot_i, rot_c, rot_s, rot_m = \
         outs
 
@@ -284,7 +288,7 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
     idt = rot_ip.dtype
     (_, _), depths = lax.scan(
         depth_step, (jnp.asarray(-1, idt), jnp.asarray(0, idt)),
-        (rot_ip, rot_i, rot_m))
+        (rot_ip, rot_i, rot_m), unroll=8)
     depths = jnp.where(rot_m, depths, -1)
     maxd = jnp.max(depths)
 

@@ -278,19 +278,18 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
 def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
     """One sweep of the sequential chase on banded storage.
 
-    Static parallelogram views of the banded array stand in for the dense
+    Parallelogram views of the banded array stand in for the dense
     windows: ``A[p+i, p-b-1+j] = rowblk[i, j-i+b-1]`` and
-    ``A[p-b-1+i, p+j] = colblk[i, j-i+3b+1]`` — all indices in [0, 4b],
-    so both two-sided tiles are plain ``take_along_axis``/scatter with
-    STATIC index matrices on dynamically-sliced row blocks.
+    ``A[p-b-1+i, p+j] = colblk[i, j-i+3b+1]`` — all indices in [0, 4b].
+    The per-row shear ``Y[i, j] = X[i, j - i + s]`` is materialized WITHOUT
+    gathers (element gathers are the slow path on TPU) by the flat-stride
+    trick: ``X.flat[i*W + j - i + s] = X.flat[i*(W-1) + (j + s)]``, i.e. a
+    STATIC slice of the flattened block reshaped to row stride W-1.  Both
+    shears here stay in range by construction (indices span [0, 4b] ⊂
+    [0, W)), and the un-shear is the same view written back, so the whole
+    two-sided update is static slices + reshapes + outer products.
     """
     win = 3 * b + 1
-    ii = jnp.arange(b)[:, None]
-    jj = jnp.arange(win)[None, :]
-    didx_a = jj - ii + b - 1
-    i2 = jnp.arange(win)[:, None]
-    j2 = jnp.arange(b)[None, :]
-    didx_b = j2 - i2 + 3 * b + 1
 
     def chase(t, inner):
         # one (win, W) block slice covers BOTH two-sided windows (rows
@@ -301,16 +300,28 @@ def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
         jcol = jnp.where(t == 0, c, p - b)
         B = lax.dynamic_slice(wb, (pad + p - b - 1, 0), (win, W))
         rowpart = B[b + 1:2 * b + 1]
-        dx = (jcol - p + off) - jnp.arange(b)
-        x = jnp.take_along_axis(rowpart, dx[:, None], axis=1)[:, 0]
+        # sheared row view: rflat_view[i, q] = rowpart[i, q - i]
+        rflat = rowpart.reshape(-1)
+        rview = rflat[: b * (W - 1)].reshape(b, W - 1)
+        x = lax.dynamic_slice(rview, (0, jcol - p + off), (b, 1))[:, 0]
         v, tau = _house_pivot0(x)
-        asub = jnp.take_along_axis(rowpart, didx_a, axis=1)
+        asub = lax.dynamic_slice(rview, (0, b - 1), (b, win))
         asub = asub - tau * jnp.outer(v, v @ asub)
-        rowpart = rowpart.at[ii, didx_a].set(asub)
+        rview = lax.dynamic_update_slice(rview, asub, (0, b - 1))
+        rowpart = jnp.concatenate(
+            [rview.reshape(-1), rflat[b * (W - 1):]]).reshape(b, W)
         B = lax.dynamic_update_slice(B, rowpart, (b + 1, 0))
-        bsub = jnp.take_along_axis(B, didx_b, axis=1)
+        # sheared column view (flat offset 1 so the last column fits):
+        # cview[i, q] = B.flat[i*(W-1) + q + 1], so B[i, j - i + 3b+1]
+        # = cview[i, j + 3b]
+        bflat = B.reshape(-1)
+        cview = bflat[1: 1 + win * (W - 1)].reshape(win, W - 1)
+        bsub = cview[:, 3 * b: 4 * b]
         bsub = bsub - tau * jnp.outer(bsub @ v, v)
-        B = B.at[i2, didx_b].set(bsub)
+        cview = lax.dynamic_update_slice(cview, bsub, (0, 3 * b))
+        B = jnp.concatenate(
+            [bflat[:1], cview.reshape(-1),
+             bflat[1 + win * (W - 1):]]).reshape(win, W)
         wb = lax.dynamic_update_slice(wb, B, (pad + p - b - 1, 0))
         HVc = lax.dynamic_update_slice(HVc, v[None, :], (t, 0))
         HTc = HTc.at[t].set(tau)

@@ -537,8 +537,32 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
     w = jnp.zeros((n + 2 * pad, W), dtype)
     w = lax.dynamic_update_slice(w, _banded_state(band, b, mesh), (pad, 0))
     jarr = jnp.arange(nW)
-    boff = jnp.arange(b)
-    woff = jnp.arange(win)
+
+    # flat-stride window views (gathers of CONTIGUOUS runs, not elements —
+    # element gathers measured 34x slower on TPU):
+    #   A[p+i, p-b-1+j]  = flat[r0*W + (b-1)    + i*(W-1) + j]  (row tile)
+    #   A[p-b-1+i, p+j]  = flat[c0*W + (3b+1)   + i*(W-1) + j]  (col tile)
+    # with r0 = pad+p, c0 = pad+p-b-1; both live-window run-sets are
+    # pairwise disjoint (window stride 4b rows), so the batched slice
+    # scatter-back has unique indices.
+    Lr = b * (W - 1)
+    Lc = win * (W - 1)
+    flat_len = (n + 2 * pad) * W
+
+    def slice_rows(flat, bases, L, nrows):
+        tile = jax.vmap(
+            lambda s: lax.dynamic_slice(flat, (s,), (L,)))(bases)
+        return tile.reshape(-1, nrows, W - 1)
+
+    def scatter_add_rows(flat, bases, delta):
+        # deltas (zero outside each window's parallelogram and for dead
+        # lanes) make duplicate/overlapping run indices harmless
+        nw, nrows, _ = delta.shape
+        dn = lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(),
+            scatter_dims_to_operand_dims=(0,))
+        return lax.scatter_add(flat, bases[:, None],
+                               delta.reshape(nw, nrows * (W - 1)), dn)
 
     def step(tau, carry):
         w, HV, HT = carry
@@ -550,16 +574,17 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
         live = live & (p < n - 1) & (jcol < n - 1)
         r0 = jnp.where(live, pad + p, 0)
         c0 = jnp.where(live, pad + p - b - 1, 0)
-        xc = jnp.where(live, pad + jcol, 0)
-        rows = r0[:, None] + boff[None, :]        # (nW, b)
-        cols = c0[:, None] + woff[None, :]        # (nW, win)
-        livef = live.astype(dtype)
 
-        # batched Householder, pivot at local row 0; banded storage:
-        # A[r, c] = w[r, c - r + off] (out-of-band reads fill 0, writes
-        # drop — only dead scratch lanes ever go out of range)
-        dxc = xc[:, None] - rows + off            # (nW, b)
-        x = w.at[rows, dxc].get(mode="fill", fill_value=0.0)
+        flat = w.reshape(-1)
+        base_r = jnp.clip(r0 * W + (b - 1), 0, flat_len - Lr)
+        base_c = jnp.clip(c0 * W + (3 * b + 1), 0, flat_len - Lc)
+        tile_r = slice_rows(flat, base_r, Lr, b)            # (nW, b, W-1)
+        # tile_r[w, i, j] = flat[r0*W + (b-1) + i*(W-1) + j]
+        #                 = A[p+i, p-b-1+j]  for j < win;
+        # the pivot column A[:, jcol] sits at j = jcol - p + b + 1
+        jrel = (jcol - p + b + 1)[:, None, None]            # in {b, 1}
+        x = jnp.take_along_axis(tile_r, jnp.broadcast_to(
+            jrel, (t.shape[0], b, 1)), axis=2)[:, :, 0]     # (nW, b)
         tail = x[:, 1:]
         sigma = jnp.sum(tail * tail, axis=1)
         zero_tail = sigma == 0
@@ -575,19 +600,21 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
                                (beta - alpha) /
                                jnp.where(beta == 0, 1.0, beta))
 
-        # two-sided update on the batched disjoint windows (banded coords)
-        dr = cols[:, None, :] - rows[:, :, None] + off      # (nW, b, win)
-        tile_r = w.at[rows[:, :, None], dr].get(mode="fill",
-                                                fill_value=0.0)
-        coef = jnp.einsum("wb,wbc->wc", v, tile_r) * tau_h[:, None]
-        tile_r = tile_r - v[:, :, None] * coef[:, None, :]
-        w = w.at[rows[:, :, None], dr].set(tile_r, mode="drop")
-        dc = rows[:, None, :] - cols[:, :, None] + off      # (nW, win, b)
-        tile_c = w.at[cols[:, :, None], dc].get(mode="fill",
-                                                fill_value=0.0)
-        coef2 = jnp.einsum("wcb,wb->wc", tile_c, v) * tau_h[:, None]
-        tile_c = tile_c - coef2[:, :, None] * v[:, None, :]
-        w = w.at[cols[:, :, None], dc].set(tile_c, mode="drop")
+        # two-sided update on the batched disjoint windows (delta form)
+        nw = t.shape[0]
+        win_r = tile_r[:, :, :win]                          # (nW, b, win)
+        coef = jnp.einsum("wb,wbc->wc", v, win_r) * tau_h[:, None]
+        delta_r = jnp.zeros((nw, b, W - 1), dtype).at[:, :, :win].set(
+            -v[:, :, None] * coef[:, None, :])
+        flat = scatter_add_rows(flat, base_r, delta_r)
+
+        tile_c = slice_rows(flat, base_c, Lc, win)          # (nW, win, W-1)
+        win_c = tile_c[:, :, :b]                            # (nW, win, b)
+        coef2 = jnp.einsum("wcb,wb->wc", win_c, v) * tau_h[:, None]
+        delta_c = jnp.zeros((nw, win, W - 1), dtype).at[:, :, :b].set(
+            -coef2[:, :, None] * v[:, None, :])
+        flat = scatter_add_rows(flat, base_c, delta_c)
+        w = flat.reshape(n + 2 * pad, W)
 
         c_s = jnp.where(live, c, n)
         t_s = jnp.minimum(t, T - 1)

@@ -564,8 +564,7 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
         return lax.scatter_add(flat, bases[:, None],
                                delta.reshape(nw, nrows * (W - 1)), dn)
 
-    def step(tau, carry):
-        w, HV, HT = carry
+    def step(w, tau):
         t = (tau % 4) + 4 * jarr                  # (nW,)
         c = tau // 4 - jarr
         live = (c >= 0) & (c <= n - 3) & (t <= T - 1)
@@ -618,14 +617,18 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
 
         c_s = jnp.where(live, c, n)
         t_s = jnp.minimum(t, T - 1)
-        HV = HV.at[c_s, t_s, :].set(v)
-        HT = HT.at[c_s, t_s].set(tau_h)
-        return (w, HV, HT)
+        # reflectors leave as scan OUTPUTS — a per-step scatter into the
+        # O(n^2) store would rewrite (or copy) the big carry every step
+        return w, (v, tau_h, c_s, t_s)
 
-    HV0 = jnp.zeros((n + 1, T, b), dtype)
-    HT0 = jnp.zeros((n + 1, T), dtype)
     tau_max = 4 * (n - 3) + T
-    w, HV, HT = lax.fori_loop(0, tau_max, step, (w, HV0, HT0))
+    w, (vs, ths, cs, ts) = lax.scan(step, w, jnp.arange(tau_max))
+    cs = cs.reshape(-1)
+    ts = ts.reshape(-1)
+    HV = jnp.zeros((n + 1, T, b), dtype).at[cs, ts, :].set(
+        vs.reshape(-1, b), mode="drop")
+    HT = jnp.zeros((n + 1, T), dtype).at[cs, ts].set(
+        ths.reshape(-1), mode="drop")
     d = w[pad:pad + n, off]
     e = w[pad + 1:pad + n, off - 1]
     HV, HT = _shard_chase_store(HV[:n], HT[:n], mesh)

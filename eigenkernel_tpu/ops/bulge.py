@@ -519,9 +519,9 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
     two-sided rank-1 updates, and scatters back: ~n^2/(2 bw) sequential
     chases collapse into ``4n + T`` batched steps.
 
-    Dead lanes (pipeline fill/drain) are pointed at an always-zero scratch
-    corner of the padded work matrix; their reflectors are exactly zero so
-    the writes are value-preserving no-ops.
+    Dead lanes (pipeline fill/drain) read the enlarged zero padding; their
+    reflectors are exactly zero so the written-back windows are
+    value-preserving no-ops.
     """
     n = band.shape[0]
     dtype = band.dtype
@@ -534,56 +534,49 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
     win = 3 * b + 1
     W = 4 * b + 1
     off = 2 * b
-    w = jnp.zeros((n + 2 * pad, W), dtype)
+    # rows must cover the highest window's covering slice at any step
+    # (uniform-stride multi-window views, see below) — still O(n*bw)
+    tau_max = 4 * (n - 3) + T
+    p0_max = (tau_max - 1) // 4 + 1 + 3 * b
+    rows_total = pad + p0_max + nW * (4 * b - 1) + 2
+    w = jnp.zeros((rows_total, W), dtype)
     w = lax.dynamic_update_slice(w, _banded_state(band, b, mesh), (pad, 0))
     jarr = jnp.arange(nW)
 
-    # flat-stride window views (gathers of CONTIGUOUS runs, not elements —
-    # element gathers measured 34x slower on TPU):
-    #   A[p+i, p-b-1+j]  = flat[r0*W + (b-1)    + i*(W-1) + j]  (row tile)
-    #   A[p-b-1+i, p+j]  = flat[c0*W + (3b+1)   + i*(W-1) + j]  (col tile)
-    # with r0 = pad+p, c0 = pad+p-b-1; both live-window run-sets are
-    # pairwise disjoint (window stride 4b rows), so the batched slice
-    # scatter-back has unique indices.
-    Lr = b * (W - 1)
-    Lc = win * (W - 1)
-    flat_len = (n + 2 * pad) * W
-
-    def slice_rows(flat, bases, L, nrows):
-        tile = jax.vmap(
-            lambda s: lax.dynamic_slice(flat, (s,), (L,)))(bases)
-        return tile.reshape(-1, nrows, W - 1)
-
-    def scatter_add_rows(flat, bases, delta):
-        # deltas (zero outside each window's parallelogram and for dead
-        # lanes) make duplicate/overlapping run indices harmless
-        nw, nrows, _ = delta.shape
-        dn = lax.ScatterDimensionNumbers(
-            update_window_dims=(1,), inserted_window_dims=(),
-            scatter_dims_to_operand_dims=(0,))
-        return lax.scatter_add(flat, bases[:, None],
-                               delta.reshape(nw, nrows * (W - 1)), dn)
+    # Flat-stride window views with NO gathers or scatters at all: one
+    # wavefront step's windows sit at a UNIFORM row stride 4b-1 (p_j =
+    # p_0 + j*(4b-1)), so the whole multi-window view is a single
+    # dynamic_slice of the flattened banded array reshaped into per-window
+    # chunks of (4b-1)*W elements:
+    #   A[p_j+i, p_j-b-1+q]  = chunk_j[(b-1)  + i*(W-1) + q]  (row tile)
+    #   A[p_j-b-1+i, p_j+q]  = chunk_j'[(3b+1) + i*(W-1) + q] (col tile)
+    # Dead lanes read the enlarged zero padding (their reflectors are 0,
+    # so the written-back delta is 0) — the banded state is extended to
+    # cover the highest window of any step (still O(n*bw)).
+    stride = (4 * b - 1) * W
+    cover = nW * stride
 
     def step(w, tau):
         t = (tau % 4) + 4 * jarr                  # (nW,)
         c = tau // 4 - jarr
         live = (c >= 0) & (c <= n - 3) & (t <= T - 1)
-        p = c + 1 + t * b
+        p0 = tau // 4 + 1 + (tau % 4) * b         # window j=0 (lowest rows)
+        p = c + 1 + t * b                         # = p0 + j*(4b-1)
         jcol = jnp.where(t == 0, c, p - b)
         live = live & (p < n - 1) & (jcol < n - 1)
-        r0 = jnp.where(live, pad + p, 0)
-        c0 = jnp.where(live, pad + p - b - 1, 0)
 
         flat = w.reshape(-1)
-        base_r = jnp.clip(r0 * W + (b - 1), 0, flat_len - Lr)
-        base_c = jnp.clip(c0 * W + (3 * b + 1), 0, flat_len - Lc)
-        tile_r = slice_rows(flat, base_r, Lr, b)            # (nW, b, W-1)
-        # tile_r[w, i, j] = flat[r0*W + (b-1) + i*(W-1) + j]
-        #                 = A[p+i, p-b-1+j]  for j < win;
-        # the pivot column A[:, jcol] sits at j = jcol - p + b + 1
+        base_r = (pad + p0) * W + (b - 1)
+        base_c = (pad + p0 - b - 1) * W + (3 * b + 1)
+        cov_r = lax.dynamic_slice(flat, (base_r,), (cover,))
+        tile_r = cov_r.reshape(nW, stride)[:, :b * (W - 1)].reshape(
+            nW, b, W - 1)
+        # tile_r[j, i, q] = A[p_j+i, p_j-b-1+q] for q < win;
+        # the pivot column A[:, jcol] sits at q = jcol - p + b + 1
         jrel = (jcol - p + b + 1)[:, None, None]            # in {b, 1}
         x = jnp.take_along_axis(tile_r, jnp.broadcast_to(
             jrel, (t.shape[0], b, 1)), axis=2)[:, :, 0]     # (nW, b)
+        x = x * live[:, None].astype(dtype)
         tail = x[:, 1:]
         sigma = jnp.sum(tail * tail, axis=1)
         zero_tail = sigma == 0
@@ -599,21 +592,25 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
                                (beta - alpha) /
                                jnp.where(beta == 0, 1.0, beta))
 
-        # two-sided update on the batched disjoint windows (delta form)
-        nw = t.shape[0]
+        # two-sided update on the batched disjoint windows: modify the
+        # covering slice in place, write it back with ONE dynamic update
         win_r = tile_r[:, :, :win]                          # (nW, b, win)
         coef = jnp.einsum("wb,wbc->wc", v, win_r) * tau_h[:, None]
-        delta_r = jnp.zeros((nw, b, W - 1), dtype).at[:, :, :win].set(
-            -v[:, :, None] * coef[:, None, :])
-        flat = scatter_add_rows(flat, base_r, delta_r)
+        win_r = win_r - v[:, :, None] * coef[:, None, :]
+        cov_r = cov_r.reshape(nW, stride).at[:, :b * (W - 1)].set(
+            tile_r.at[:, :, :win].set(win_r).reshape(nW, -1)).reshape(-1)
+        flat = lax.dynamic_update_slice(flat, cov_r, (base_r,))
 
-        tile_c = slice_rows(flat, base_c, Lc, win)          # (nW, win, W-1)
+        cov_c = lax.dynamic_slice(flat, (base_c,), (cover,))
+        tile_c = cov_c.reshape(nW, stride)[:, :win * (W - 1)].reshape(
+            nW, win, W - 1)
         win_c = tile_c[:, :, :b]                            # (nW, win, b)
         coef2 = jnp.einsum("wcb,wb->wc", win_c, v) * tau_h[:, None]
-        delta_c = jnp.zeros((nw, win, W - 1), dtype).at[:, :, :b].set(
-            -coef2[:, :, None] * v[:, None, :])
-        flat = scatter_add_rows(flat, base_c, delta_c)
-        w = flat.reshape(n + 2 * pad, W)
+        win_c = win_c - coef2[:, :, None] * v[:, None, :]
+        cov_c = cov_c.reshape(nW, stride).at[:, :win * (W - 1)].set(
+            tile_c.at[:, :, :b].set(win_c).reshape(nW, -1)).reshape(-1)
+        flat = lax.dynamic_update_slice(flat, cov_c, (base_c,))
+        w = flat.reshape(-1, W)
 
         c_s = jnp.where(live, c, n)
         t_s = jnp.minimum(t, T - 1)
@@ -621,7 +618,6 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
         # O(n^2) store would rewrite (or copy) the big carry every step
         return w, (v, tau_h, c_s, t_s)
 
-    tau_max = 4 * (n - 3) + T
     w, (vs, ths, cs, ts) = lax.scan(step, w, jnp.arange(tau_max))
     cs = cs.reshape(-1)
     ts = ts.reshape(-1)

@@ -201,6 +201,27 @@ def apply_chase_q(res: ChaseResult, z: jax.Array, bw: int,
     return zp[:n]
 
 
+def _wy_embed(hv_desc: jax.Array, g: int, b: int, L: int,
+              emb_ok: jax.Array) -> jax.Array:
+    """Shifted-diagonal embedding Y[r, j] = hv_desc[j, r - (g-1) + j].
+
+    The embedding is a per-column shift with UNIFORM flat stride b+1
+    (flat[j*(b+1) + r - (g-1)]), so it is materialized as two shifted
+    reshapes + a mask instead of an element gather (the TPU slow path).
+    """
+    dtype = hv_desc.dtype
+    flat = hv_desc.reshape(-1)
+    fp = jnp.concatenate([jnp.zeros((g - 1,), dtype), flat,
+                          jnp.zeros((2 * (b + 1) + g,), dtype)])
+    r1 = fp[: g * (b + 1)].reshape(g, b + 1)
+    if L <= b + 1:
+        yt = r1[:, :L]
+    else:
+        r2 = fp[b + 1: b + 1 + g * (b + 1)].reshape(g, b + 1)
+        yt = jnp.concatenate([r1, r2[:, : L - (b + 1)]], axis=1)
+    return jnp.where(emb_ok, yt.T, 0.0)
+
+
 def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
                           group: int = 0,
                           mesh: Optional[Mesh] = None) -> jax.Array:
@@ -252,11 +273,9 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
 
     r_arr = jnp.arange(L)
     j_arr = jnp.arange(g)
-    # embedding index: Y[r, j] = hv_desc[j, r - (g-1-j)]
-    emb_idx = r_arr[:, None] - (g - 1) + j_arr[None, :]
-    emb_ok = (emb_idx >= 0) & (emb_idx < b)
-    emb_idx = jnp.clip(emb_idx, 0, b - 1)
-    eye_g = jnp.eye(g, dtype=dtype)
+    # embedding validity: Y[r, j] = hv_desc[j, r - (g-1-j)]
+    emb_q = r_arr[:, None] - (g - 1) + j_arr[None, :]
+    emb_ok = (emb_q >= 0) & (emb_q < b)
 
     def step(s, zp):
         G = s // T
@@ -267,8 +286,7 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
         ht = lax.dynamic_slice(HTp, (c0 + 1, t), (g, 1))[:, 0]
         hv_desc = hv[::-1]                      # application order j=0 first
         ht_desc = ht[::-1]
-        Y = jnp.where(emb_ok, jnp.take_along_axis(hv_desc.T, emb_idx,
-                                                  axis=0), 0.0)   # (L, g)
+        Y = _wy_embed(hv_desc, g, b, L, emb_ok)             # (L, g)
         gram = Y.T @ Y
         tau_safe = jnp.where(ht_desc == 0, 1.0, ht_desc)
         M = jnp.tril(gram, -1) + jnp.diag(1.0 / tau_safe)
@@ -461,9 +479,8 @@ def apply_chase_q_blocked_sharded(res: ChaseResult, z: jax.Array, bw: int,
     k_loc = kp // nP
     r_arr = jnp.arange(L)
     j_arr = jnp.arange(g)
-    emb_idx = jnp.clip(r_arr[:, None] - (g - 1) + j_arr[None, :], 0, b - 1)
-    emb_ok = (r_arr[:, None] - (g - 1) + j_arr[None, :] >= 0) & \
-             (r_arr[:, None] - (g - 1) + j_arr[None, :] < b)
+    emb_q = r_arr[:, None] - (g - 1) + j_arr[None, :]
+    emb_ok = (emb_q >= 0) & (emb_q < b)
 
     def body(hv_loc, ht_loc, z_loc):
         me = jnp.int32(0)
@@ -488,9 +505,7 @@ def apply_chase_q_blocked_sharded(res: ChaseResult, z: jax.Array, bw: int,
             def pos_step(t, z_loc):
                 hv_t = lax.dynamic_slice(hv_desc, (0, t, 0), (g, 1, b))[:, 0]
                 ht_t = lax.dynamic_slice(ht_desc, (0, t), (g, 1))[:, 0]
-                Y = jnp.where(emb_ok,
-                              jnp.take_along_axis(hv_t.T, emb_idx, axis=0),
-                              0.0)
+                Y = _wy_embed(hv_t, g, b, L, emb_ok)
                 gram = Y.T @ Y
                 tau_safe = jnp.where(ht_t == 0, 1.0, ht_t)
                 M = jnp.tril(gram, -1) + jnp.diag(1.0 / tau_safe)

@@ -88,17 +88,23 @@ def _to_banded(band: jax.Array, b: int) -> jax.Array:
     """
     n = band.shape[0]
     off = 2 * b
+    W = 4 * b + 1
+    cols = jnp.arange(n)[:, None] + jnp.arange(W)[None, :] - off
+    if W > n + 1:
+        # tiny matrix relative to the band: the stride-(n+1) view cannot
+        # hold all W diagonals — the (small) element gather is fine here
+        valid = (cols >= 0) & (cols < n)
+        rows = jnp.arange(n)[:, None]
+        return jnp.where(valid, band[rows, jnp.clip(cols, 0, n - 1)], 0.0)
     # wb[i, dd] = band[i, i + dd - off] = band.flat[i*(n+1) + dd - off]:
     # uniform stride n+1, so the extraction is one padded reshape (no
     # element gather — the TPU slow path)
-    W = 4 * b + 1
     flat = jnp.concatenate([jnp.zeros((off,), band.dtype),
                             band.reshape(-1),
                             jnp.zeros((n + W,), band.dtype)])
     wb = flat[: n * (n + 1)].reshape(n, n + 1)[:, :W]
     # the zero prefix makes col<0 reads exact zeros; col>=n positions wrap
     # into the next row's data and need masking
-    cols = jnp.arange(n)[:, None] + jnp.arange(W)[None, :] - off
     return jnp.where(cols < n, wb, 0.0)
 
 

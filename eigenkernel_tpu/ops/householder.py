@@ -87,24 +87,32 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     shapes) — recovering most of the uniform-schedule flop waste (the
     trailing updates and panel matvecs shrink with the active size).
     """
+    import os
+
     n = a.shape[0]
     dtype = a.dtype
     b = min(block, n)
     if n % b != 0:
         raise ValueError(f"dim {n} not divisible by block {block}")
-    d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh)
+    # split granularity: process 1/split of the active size per recursion
+    # level.  Finer splits cut the panel-matvec HBM traffic (the one-stage
+    # bottleneck) toward the optimal 4n^3/3 bytes — split=2: 2.29 n^3,
+    # split=4: 1.73 n^3 — at the cost of ~2x more compiled program.
+    split = int(os.environ.get("EK_SYTRD_SPLIT", "4"))
+    d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh, split)
     return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
                          V=vstore, taus=taus)
 
 
-def _tridiag_rec(a: jax.Array, b: int, mesh: Optional[Mesh]):
+def _tridiag_rec(a: jax.Array, b: int, mesh: Optional[Mesh],
+                 split: int = 2):
     m = a.shape[0]
-    mid = (m // 2 // b) * b
+    mid = (m // max(split, 2) // b) * b
     if mid == 0 or m - mid < 2 * b:
         _, d, e, taus, V = _tridiag_panels(a, b, mesh, m // b)
         return d, e, taus, V
     a, d1, e1, t1, V1 = _tridiag_panels(a, b, mesh, mid // b)
-    d2, e2, t2, V2 = _tridiag_rec(a[mid:, mid:], b, mesh)
+    d2, e2, t2, V2 = _tridiag_rec(a[mid:, mid:], b, mesh, split)
     d = jnp.concatenate([d1[:mid], d2])
     e = jnp.concatenate([e1[:mid], e2]) if m > 1 else e1
     taus = jnp.concatenate([t1[:mid], t2])

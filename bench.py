@@ -155,25 +155,38 @@ def main() -> None:
     peak = fl.chip_peak_flops(jax.devices()[0].device_kind, dtype_name)
     mfu = (model_fl / t_ours / peak) if peak else None
 
-    # --- baseline: XLA QDWH eigh
-    eigh = jax.jit(jnp.linalg.eigh)
-    t0 = time.time()
-    w2, v2 = eigh(ad)
-    _sync_scalar(w2)
-    compile_eigh_s = time.time() - t0
-    times = []
-    for _ in range(3):
+    # --- baseline: XLA QDWH eigh.  At M>=16k the baseline itself fails on
+    # this setup (remote compile helper OOM-killed compiling eigh) while
+    # the staged solver runs fine — report ours with a labeled null
+    # baseline instead of crashing the bench.
+    t_eigh = ev_gap = None
+    compile_eigh_s = 0.0
+    try:
+        eigh = jax.jit(jnp.linalg.eigh)
         t0 = time.time()
         w2, v2 = eigh(ad)
-        _sync_scalar(w2 + v2[0, :])
-        times.append(time.time() - t0)
-    t_eigh = min(times)
-    ev_gap = _sync_scalar(jnp.max(jnp.abs(p.values - w2[:p.values.shape[0]])))
+        _sync_scalar(w2)
+        compile_eigh_s = time.time() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            w2, v2 = eigh(ad)
+            _sync_scalar(w2 + v2[0, :])
+            times.append(time.time() - t0)
+        t_eigh = min(times)
+        ev_gap = _sync_scalar(
+            jnp.max(jnp.abs(p.values - w2[:p.values.shape[0]])))
+    except Exception as exc:
+        print(f"# eigh baseline failed at n={n}: {exc!r}"[:300],
+              file=sys.stderr)
 
+    eigh_txt = "FAILED" if t_eigh is None else \
+        f"{t_eigh:.4f}s (first {compile_eigh_s:.1f}s)"
+    gap_txt = "n/a" if ev_gap is None else f"{ev_gap:.2e}"
     print(f"# n={n} dtype={dtype_name} solver={solver} "
           f"ours={t_ours:.4f}s (first {compile_s:.1f}s) "
-          f"eigh={t_eigh:.4f}s (first {compile_eigh_s:.1f}s) "
-          f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={ev_gap:.2e} "
+          f"eigh={eigh_txt} "
+          f"resid={resid:.2e} orth={orth:.2e} |w-w_eigh|={gap_txt} "
           f"tflops={tflops:.2f} mfu={mfu if mfu is None else round(mfu, 4)} "
           f"stages={stage_times}",
           file=sys.stderr)
@@ -189,7 +202,8 @@ def main() -> None:
         "metric": f"{tag}_time_to_solution",
         "value": round(t_ours, 5),
         "unit": "s",
-        "vs_baseline": round(t_eigh / t_ours, 3),
+        "vs_baseline": None if t_eigh is None
+        else round(t_eigh / t_ours, 3),
         "tflops": round(tflops, 3),
         "mfu": None if mfu is None else round(mfu, 4),
         "resid": float(f"{resid:.3e}"),

@@ -153,3 +153,18 @@ def trsm_right_lower_t(l: jax.Array, b: jax.Array, *, block: int = 256,
 def symmetrize(a: jax.Array) -> jax.Array:
     """(A + A^T)/2 — used to keep two-sided updates numerically symmetric."""
     return (a + a.T) * jnp.asarray(0.5, dtype=a.dtype)
+
+
+def gershgorin_sentinel(a: jax.Array) -> jax.Array:
+    """Sentinel value strictly above the spectrum of symmetric ``a``
+    (Gershgorin bound + margin) — THE repo-wide padding convention: padded
+    diagonal entries use this value so padded eigenpairs sort strictly
+    last.  Single definition; the pad-ordering invariants in
+    pipelines/_j_sentinelize and ops.qdwh depend on child sentinels
+    exceeding inherited parent sentinels, which this formula guarantees
+    (mu > max diag entry, and parent sentinels sit on the diagonal)."""
+    radius = jnp.sum(jnp.abs(a), axis=1)
+    diag = jnp.diagonal(a)
+    hi = jnp.max(diag + radius)
+    lo = jnp.min(diag - radius)
+    return hi + 0.125 * jnp.maximum(hi - lo, 1.0) + 1.0

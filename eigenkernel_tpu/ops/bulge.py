@@ -103,8 +103,11 @@ def _to_banded(band: jax.Array, b: int) -> jax.Array:
                             band.reshape(-1),
                             jnp.zeros((n + W,), band.dtype)])
     wb = flat[: n * (n + 1)].reshape(n, n + 1)[:, :W]
-    # the zero prefix makes col<0 reads exact zeros; col>=n positions wrap
-    # into the next row's data and need masking
+    # col<0 slots: row 0 reads the zero prefix; rows i>=1 wrap into the
+    # PREVIOUS row's trailing entries, which are exact zeros only because
+    # ``band`` is exactly banded (to_band masks outside the band) — this
+    # precondition is load-bearing.  col>=n slots wrap into the NEXT row's
+    # leading entries (live data) and are masked here.
     return jnp.where(cols < n, wb, 0.0)
 
 

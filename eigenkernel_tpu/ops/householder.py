@@ -97,8 +97,9 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     # split granularity: process 1/split of the active size per recursion
     # level.  Finer splits cut the panel-matvec HBM traffic (the one-stage
     # bottleneck) toward the optimal 4n^3/3 bytes — split=2: 2.29 n^3,
-    # split=4: 1.73 n^3 — at the cost of ~2x more compiled program.
-    split = int(os.environ.get("EK_SYTRD_SPLIT", "4"))
+    # split=4: 1.73 n^3, split=8: 1.52 n^3 — at the cost of a bigger
+    # compiled program (TPU v5e M=8192 solve totals: 2.33/1.85/1.68 s).
+    split = int(os.environ.get("EK_SYTRD_SPLIT", "8"))
     d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh, split)
     return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
                          V=vstore, taus=taus)

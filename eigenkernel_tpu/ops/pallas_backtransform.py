@@ -29,13 +29,14 @@ visible in interpret mode):
 
 * DMA'd blocks must keep tile-aligned trailing dims: the T axis of the
   reflector store is padded to a multiple of 8 (zero rows are exact
-  no-ops) and tau is broadcast across a 128-lane axis.  The bw (lane) axis
-  must itself be a multiple of 128 on hardware — true for the production
-  panel widths; smaller bw falls back to the (hardware-validated)
-  WY-grouped blocked path.
+  no-ops).  The bw (lane) axis must itself be a multiple of 128 on
+  hardware — true for the production panel widths; smaller bw falls back
+  to the (hardware-validated) WY-grouped blocked path.
 
-Reflector data (W: (n, tp, bw), HT: (n, tp, 128)) is DMA'd from HBM per
-sweep, double-buffered across sweeps.
+* tau never enters the kernel: it is folded into the reflectors outside
+  (``H = I - tau v v^T = I - u u^T`` with ``u = sqrt(tau) v``; Householder
+  taus are >= 0), so only the single (n, tp, bw) store is DMA'd per sweep,
+  double-buffered across sweeps.
 """
 
 from __future__ import annotations
@@ -52,22 +53,18 @@ from jax.experimental.pallas import tpu as pltpu
 _TK = 256    # eigenvector columns per grid program
 
 
-def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
-                          w_s, ht_s, sem_v, sem_t,
+def _backtransform_kernel(w_ref, z_ref, out_ref,
+                          w_s, sem_v,
                           *, n: int, tp: int, bw: int):
     out_ref[...] = z_ref[...]
     nsweeps = n - 2
     tbp = tp * bw
 
     def get_dma(slot, c):
-        return (pltpu.make_async_copy(w_ref.at[c], w_s.at[slot],
-                                      sem_v.at[slot]),
-                pltpu.make_async_copy(ht_ref.at[c], ht_s.at[slot],
-                                      sem_t.at[slot]))
+        return pltpu.make_async_copy(w_ref.at[c], w_s.at[slot],
+                                     sem_v.at[slot])
 
-    dv, dt = get_dma(0, nsweeps - 1)
-    dv.start()
-    dt.start()
+    get_dma(0, nsweeps - 1).start()
 
     rr = lax.broadcasted_iota(jnp.int32, (tp, bw), 1)   # r index per block
 
@@ -77,16 +74,12 @@ def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
 
         @pl.when(i + 1 < nsweeps)
         def _():
-            dv2, dt2 = get_dma((i + 1) % 2, c - 1)
-            dv2.start()
-            dt2.start()
+            get_dma((i + 1) % 2, c - 1).start()
 
-        dv, dt = get_dma(slot, c)
-        dv.wait()
-        dt.wait()
-        w = w_s[slot]                       # (tp, bw) pre-shifted
-        # tau is lane-replicated; a max-reduce recovers the (tp, 1) column
-        tau = jnp.max(ht_s[slot], axis=1, keepdims=True)
+        get_dma(slot, c).wait()
+        # pre-shifted, sqrt(tau)-scaled reflectors: H = I - u u^T with
+        # u = sqrt(tau) v, so no tau enters the kernel at all
+        w = w_s[slot]                       # (tp, bw)
         base = pl.multiple_of(8 * ((c + 1) // 8), 8)
         off = (c + 1) - 8 * ((c + 1) // 8)  # 0..7, traced
         zwin = out_ref[pl.ds(base, tbp), :]          # (tbp, TK)
@@ -97,10 +90,9 @@ def _backtransform_kernel(w_ref, ht_ref, z_ref, out_ref,
         s_tail = jnp.sum(wz * (1.0 - head)[:, :, None], axis=1)
         zero = jnp.zeros_like(s_tail[:1])
         coef = s_head + jnp.concatenate([s_tail[1:], zero], axis=0)
-        tcoef = tau * coef                                   # (tp, TK)
-        t_tail = jnp.concatenate([zero, tcoef[:-1]], axis=0)
+        t_tail = jnp.concatenate([zero, coef[:-1]], axis=0)
         pick = jnp.where(head[:, :, None] > 0,
-                         tcoef[:, None, :], t_tail[:, None, :])
+                         coef[:, None, :], t_tail[:, None, :])
         zw = zw - w[:, :, None] * pick
         out_ref[pl.ds(base, tbp), :] = zw.reshape(tbp, zwin.shape[-1])
         return 0
@@ -124,9 +116,11 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
     zp = jnp.zeros((rows_pad, kpad), dtype)
     zp = lax.dynamic_update_slice(zp, z, (0, 0))
 
-    # pre-shift the reflector store: sweep c's flat (T*bw,) vector lands at
-    # offset (c+1) mod 8 inside a (tp*bw,) row-tile (one gather pass)
-    hv_flat = hv.reshape(n, t_dim * bw)
+    # fold tau into the reflectors (H = I - tau v v^T = I - u u^T with
+    # u = sqrt(tau) v; Householder taus are >= 0), then pre-shift: sweep
+    # c's flat (T*bw,) vector lands at offset (c+1) mod 8 inside a
+    # (tp*bw,) row-tile (one gather pass).  No tau store/DMA at all.
+    hv_flat = (hv * jnp.sqrt(ht)[..., None]).reshape(n, t_dim * bw)
     offs = (jnp.arange(n, dtype=jnp.int32) + 1) % 8
     idx = jnp.arange(tbp, dtype=jnp.int32)[None, :] - offs[:, None]
     valid = (idx >= 0) & (idx < t_dim * bw)
@@ -134,17 +128,12 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
         valid, jnp.take_along_axis(hv_flat, jnp.clip(idx, 0, t_dim * bw - 1),
                                    axis=1), 0)
     w_shift = w_shift.reshape(n, tp, bw)
-    # tau: pad T -> tp (zero rows = identity reflectors) and replicate
-    # across a 128-lane axis so the DMA'd block is tile-aligned
-    ht_pad = jnp.zeros((n, tp), dtype).at[:, :t_dim].set(ht)
-    ht_b = jnp.broadcast_to(ht_pad[..., None], (n, tp, 128))
 
     out = pl.pallas_call(
         functools.partial(_backtransform_kernel, n=n, tp=tp, bw=bw),
         grid=(kpad // _TK,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # W (n, tp, bw) in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # HT (n, tp, 128) in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # U (n, tp, bw) in HBM
             pl.BlockSpec((rows_pad, _TK), lambda g: (0, g),
                          memory_space=pltpu.VMEM),
         ],
@@ -153,10 +142,8 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
         out_shape=jax.ShapeDtypeStruct((rows_pad, kpad), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, tp, bw), dtype),
-            pltpu.VMEM((2, tp, 128), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(w_shift, ht_b, zp)
+    )(w_shift, zp)
     return out[:n, :k]

@@ -151,33 +151,67 @@ def _j_split(a, sigma, n_real, g, block, mesh):
     cross = (idx[:, None] >= k) & (idx[None, :] < k)
     off = jnp.max(jnp.abs(d) * cross)
     orth = jnp.max(jnp.abs(v.T @ v - jnp.eye(m, dtype=dt)))
-    return v, d, k, off, orth
+    # gate the coupling against the LIVE block's norm: the padded norm
+    # grows with inherited sentinels (~1.125x per level) and would
+    # progressively loosen the tolerance at depth
+    anorm_live = jnp.linalg.norm(
+        jnp.where(live[:, None] & live[None, :], a, 0))
+    return v, d, k, off, orth, anorm_live
 
 
-@partial(jax.jit, static_argnames=("off", "kk", "m_out"))
+@partial(jax.jit, static_argnames=("m_out",))
 def _j_slice_pad(d, off, kk, m_out):
-    """Extract d[off:off+kk, off:off+kk] and sentinel-pad it to m_out."""
-    blk = d[off:off + kk, off:off + kk]
-    if m_out == kk:
-        return blk
-    radius = jnp.sum(jnp.abs(blk), axis=1)
-    diag = jnp.diagonal(blk)
-    hi = jnp.max(diag + radius)
-    lo = jnp.min(diag - radius)
-    mu = hi + 0.125 * jnp.maximum(hi - lo, 1.0) + 1.0
-    out = jnp.zeros((m_out, m_out), d.dtype).at[:kk, :kk].set(blk)
-    pad = jnp.arange(m_out) >= kk
-    return out + jnp.diag(jnp.where(pad, mu, 0).astype(d.dtype))
+    """Extract d[off:off+kk, off:off+kk] and sentinel-pad it to m_out.
+
+    ``off``/``kk`` are TRACED (one compile per (m_in, m_out) bucket pair,
+    not per data-dependent split rank): a static-size dynamic_slice grabs
+    the (m_out, m_out) superset, rows/cols >= kk are masked off, and the
+    sentinel diagonal is written from the shared Gershgorin bound.
+    """
+    from eigenkernel_tpu.ops.blocked import gershgorin_sentinel
+
+    m_in = d.shape[0]
+    big = max(m_in, m_out)
+    dp = d if m_in == big else \
+        jnp.zeros((big, big), d.dtype).at[:m_in, :m_in].set(d)
+    # dynamic_slice clamps the start; re-align any overshoot with a roll
+    # (the rolled-in wrap entries land at rows >= kk and are masked off)
+    start = jnp.minimum(off, big - m_out)
+    blk = lax.dynamic_slice(dp, (start, start), (m_out, m_out))
+    over = off - start
+    blk = jnp.roll(blk, (-over, -over), axis=(0, 1))
+    idx = jnp.arange(m_out)
+    livem = idx < kk
+    blk = jnp.where(livem[:, None] & livem[None, :], blk, 0)
+    mu = gershgorin_sentinel(blk)
+    return blk + jnp.diag(jnp.where(livem, 0, mu).astype(d.dtype))
 
 
-@partial(jax.jit, static_argnames=("k", "mesh"))
+@partial(jax.jit, static_argnames=("mesh",))
 def _j_assemble(v, w1, v1, w2, v2, k, mesh):
-    """Combine child solutions: w = [w1[:k], w2[:m-k]], V = v @ diag(v1,v2)."""
+    """Combine child solutions: w = [w1[:k], w2[:m-k]], V = v @ diag(v1,v2).
+
+    ``k`` is TRACED (one compile per (m, m1, m2) bucket triple, not per
+    split rank): the children are embedded by masks and a traced roll —
+    roll wrap-around entries land outside each child's masked quadrant.
+    """
     m = v.shape[0]
-    vc = jnp.zeros((m, m), v.dtype)
-    vc = vc.at[:k, :k].set(v1[:k, :k])
-    vc = vc.at[k:, k:].set(v2[:m - k, :m - k])
-    w = jnp.concatenate([w1[:k], w2[:m - k]])
+    dt = v.dtype
+    idx = jnp.arange(m)
+    lo = idx < k
+
+    def embed(x):
+        s = min(x.shape[0], m)
+        return jnp.zeros((m, m), dt).at[:s, :s].set(x[:s, :s])
+
+    vc = jnp.where(lo[:, None] & lo[None, :], embed(v1), 0)
+    v2r = jnp.roll(embed(v2), (k, k), axis=(0, 1))
+    vc = vc + jnp.where(lo[:, None] | lo[None, :], 0, v2r)
+    w1e = jnp.zeros((m,), w1.dtype).at[:min(w1.shape[0], m)].set(
+        w1[:min(w1.shape[0], m)])
+    w2e = jnp.zeros((m,), w2.dtype).at[:min(w2.shape[0], m)].set(
+        w2[:min(w2.shape[0], m)])
+    w = jnp.where(lo, w1e, jnp.roll(w2e, k))
     return w, _wsc(v @ _wsc(vc, mesh), mesh)
 
 
@@ -187,8 +221,8 @@ def _j_eigh_base(a):
 
 
 @jax.jit
-def _j_diag_fro(a):
-    return jnp.diagonal(a), jnp.linalg.norm(a)
+def _j_diag(a):
+    return jnp.diagonal(a)
 
 
 def _bucket(k: int, base: int) -> int:
@@ -226,18 +260,16 @@ def spectral_dc_eigh(a: jax.Array, n_real: Optional[int] = None,
         mm = a_dev.shape[0]
         if live <= base:
             return _j_eigh_base(a_dev)
-        diag, anorm = _j_diag_fro(a_dev)
-        dlive = np.asarray(diag)[:live]
-        anorm = float(anorm)
+        diag = np.asarray(_j_diag(a_dev))[:live]
         split = None
         for q in _SIGMA_QUANTILES:
-            sigma = float(np.quantile(dlive, q))
-            v, d, k, off, orth = _j_split(
+            sigma = float(np.quantile(diag, q))
+            v, d, k, off, orth, anorm = _j_split(
                 a_dev, jnp.asarray(sigma, dt), jnp.asarray(live, jnp.int32),
                 probe(mm), block, mesh)
             k = int(k)
             if (0 < k < live and float(orth) < otol
-                    and float(off) <= otol * max(anorm, 1.0)):
+                    and float(off) <= otol * max(float(anorm), 1.0)):
                 split = (v, d, k)
                 break
         if split is None:

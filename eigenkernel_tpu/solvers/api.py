@@ -182,6 +182,11 @@ def fused_solver(solver: str, n: int, n_vec: Optional[int] = None,
     mesh axes (no padding happens here).
     """
     spec = get_spec(solver)
+    if spec.core == "qdwh":
+        raise ValueError(
+            f"solver '{solver}' (QDWH spectral D&C) runs host-staged "
+            "recursion with data-dependent splits and cannot be fused "
+            "into one jittable computation — use solve() instead")
     panel = block_size if block_size > 0 else pl.DEFAULT_PANEL
     panel = min(panel, n)
     if n % panel != 0:

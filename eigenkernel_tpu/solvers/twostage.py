@@ -94,9 +94,10 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 else fl.bisect_invit(n, n_vec))
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        # WY-grouped sweeps (ELPA2-style): ~g x less memory traffic than
-        # the per-sweep path; the Pallas kernel stays opt-in until
-        # hardware-validated.
+        # WY-grouped sweeps (ELPA2-style, hardware-validated): at group
+        # g=bw the traffic is already ~one pass over z, so it remains the
+        # default.  The (also hardware-validated, bw%128==0 only) Pallas
+        # kernel is explicit opt-in — no measured large-n win over blocked.
         bt_method = "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,

@@ -155,6 +155,17 @@ def main() -> None:
     peak = fl.chip_peak_flops(jax.devices()[0].device_kind, dtype_name)
     mfu = (model_fl / t_ours / peak) if peak else None
 
+    # roofline fraction of HBM speed-of-light for the memory-bound
+    # tridiagonalization stage (MFU understates a memory-bound solver)
+    hbm_frac = None
+    t_tri = stage_times.get("sep:tridiagonalize")
+    bw_peak = fl.chip_hbm_bw(jax.devices()[0].device_kind)
+    if t_tri and bw_peak and spec.core == "one_stage":
+        split = int(os.environ.get("EK_SYTRD_SPLIT", "8"))
+        bytes_model = fl.sytrd_bytes(n_pad, split,
+                                     np.dtype(dtype_name).itemsize)
+        hbm_frac = round(bytes_model / t_tri / bw_peak, 3)
+
     # --- baseline: XLA QDWH eigh.  At M>=16k the baseline itself fails on
     # this setup (remote compile helper OOM-killed compiling eigh) while
     # the staged solver runs fine — report ours with a labeled null
@@ -206,6 +217,7 @@ def main() -> None:
         else round(t_eigh / t_ours, 3),
         "tflops": round(tflops, 3),
         "mfu": None if mfu is None else round(mfu, 4),
+        "hbm_frac_tridiag": hbm_frac,
         "resid": float(f"{resid:.3e}"),
         "platform": platform,
     }

@@ -130,6 +130,37 @@ _PEAKS = {
 }
 
 
+# chip HBM bandwidth (bytes/s) by device_kind substring
+_HBM_BW = {
+    "v6e": 1640e9,
+    "v6": 1640e9,
+    "v5p": 2765e9,
+    "v5e": 819e9,
+    "v5": 819e9,     # 'TPU v5 lite'
+    "v4": 1228e9,
+    "v3": 900e9,
+    "v2": 700e9,
+}
+
+
+def chip_hbm_bw(device_kind: str):
+    """Best-effort HBM bandwidth for roofline fractions; None if unknown."""
+    kind = device_kind.lower()
+    for key, val in _HBM_BW.items():
+        if key in kind:
+            return val
+    return None
+
+
+def sytrd_bytes(n: int, split: int, itemsize: int) -> float:
+    """Model HBM bytes of the one-stage tridiagonalization: the panel
+    matvecs read the active block once per column; the 1/split bucketed
+    recursion sums to coef * n^3 elements (coef -> 1/3 as split -> inf)."""
+    s = max(split, 2)
+    coef = (1.0 / s) / (1.0 - ((s - 1.0) / s) ** 3)
+    return coef * float(n) ** 3 * itemsize
+
+
 def chip_peak_flops(device_kind: str, dtype_name: str = "float32"):
     """Best-effort peak FLOP/s for MFU; None when unknown."""
     import os

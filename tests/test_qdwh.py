@@ -125,3 +125,43 @@ def test_qdwh_mesh(mesh8):
     assert np.abs(a @ v - v * w[None, :]).max() / s < 1e-12
     p = solve(a, solver="qdwh_dc", mesh=mesh8, block_size=64)
     assert np.abs(np.asarray(p.values) - w_ref).max() / s < 1e-13
+
+
+def test_slice_pad_traced_edges():
+    # traced off/kk with every size relation, incl. m_in < m_out and
+    # off > m_in - m_out (the clamp+roll path)
+    from eigenkernel_tpu.ops.qdwh import _j_slice_pad
+
+    rng = np.random.default_rng(11)
+    d = jnp.asarray(rng.standard_normal((40, 40)))
+    for off, kk, m_out in [(0, 30, 32), (10, 30, 32), (25, 15, 16),
+                           (0, 40, 48), (5, 35, 48), (30, 10, 64)]:
+        out = np.asarray(_j_slice_pad(d, off, kk, m_out))
+        ref = np.asarray(d)[off:off + kk, off:off + kk]
+        assert np.allclose(out[:kk, :kk], ref), (off, kk, m_out)
+        assert np.abs(out[kk:, :kk]).max() == 0 if kk < m_out else True
+        if kk < m_out:
+            mu = out[kk, kk]
+            assert (np.diag(out)[kk:] == mu).all()
+            assert mu > np.abs(np.linalg.eigvalsh(ref)).max()
+
+
+def test_assemble_traced_k():
+    from eigenkernel_tpu.ops.qdwh import _j_assemble
+
+    rng = np.random.default_rng(12)
+    m, k = 24, 10
+    v = jnp.asarray(np.linalg.qr(rng.standard_normal((m, m)))[0])
+    m1, m2 = 16, 16       # bucketed child sizes
+    w1 = jnp.asarray(rng.standard_normal(m1))
+    w2 = jnp.asarray(rng.standard_normal(m2))
+    v1 = jnp.asarray(rng.standard_normal((m1, m1)))
+    v2 = jnp.asarray(rng.standard_normal((m2, m2)))
+    w, vout = _j_assemble(v, w1, v1, w2, v2, k, None)
+    w, vout = np.asarray(w), np.asarray(vout)
+    assert np.allclose(w[:k], np.asarray(w1)[:k])
+    assert np.allclose(w[k:], np.asarray(w2)[:m - k])
+    vc = np.zeros((m, m))
+    vc[:k, :k] = np.asarray(v1)[:k, :k]
+    vc[k:, k:] = np.asarray(v2)[:m - k, :m - k]
+    assert np.allclose(vout, np.asarray(v) @ vc, atol=1e-12)

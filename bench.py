@@ -63,7 +63,11 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    if dtype_name == "float64":
+    mixed = dtype_name == "mixed"
+    if dtype_name == "float64" or mixed:
+        # mixed: f32 pipeline + f64 Newton refinement (ops/refine.py) —
+        # reaches f64-level residuals while only 3 refinement GEMMs pay
+        # the software-emulated f64 cost on TPU
         jax.config.update("jax_enable_x64", True)
 
     # Probe the backend with a BOUNDED subprocess first: a wedged axon
@@ -101,28 +105,31 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     a = rng.standard_normal((n, n))
-    a = ((a + a.T) / 2).astype(dtype_name)
+    a = ((a + a.T) / 2).astype("float64" if mixed else dtype_name)
     ad = jnp.asarray(a)
+    solve_kw = dict(solver=solver, block_size=block, n_vec=n_vec)
+    if mixed:
+        solve_kw["dtype"] = "mixed"
 
     @jax.jit
     def quality(w, v, ad):
         k = w.shape[0]
         with jax.default_matmul_precision("highest"):
-            r = ad @ v - v * w[None, :]
+            vv = v.astype(ad.dtype)
+            r = ad @ vv - vv * w[None, :].astype(ad.dtype)
             return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
-                    jnp.max(jnp.abs(v.T @ v - jnp.eye(k, dtype=v.dtype))))
+                    jnp.max(jnp.abs(vv.T @ vv - jnp.eye(k, dtype=ad.dtype))))
 
     # --- ours (staged; first call compiles each stage, cached on disk)
     t0 = time.time()
-    p = solve(ad, solver=solver, block_size=block, n_vec=n_vec)
+    p = solve(ad, **solve_kw)
     _sync_scalar(p.values)
     compile_s = time.time() - t0
     times = []
     log = EventLog(stream=False)
     for i in range(3):
         t0 = time.time()
-        p = solve(ad, solver=solver, block_size=block, n_vec=n_vec,
-                  log=log if i == 2 else None)
+        p = solve(ad, log=log if i == 2 else None, **solve_kw)
         _sync_scalar(p.values + p.vectors[0, :])
         times.append(time.time() - t0)
     t_ours = min(times)
@@ -162,8 +169,8 @@ def main() -> None:
     bw_peak = fl.chip_hbm_bw(jax.devices()[0].device_kind)
     if t_tri and bw_peak and spec.core == "one_stage":
         split = int(os.environ.get("EK_SYTRD_SPLIT", "8"))
-        bytes_model = fl.sytrd_bytes(n_pad, split,
-                                     np.dtype(dtype_name).itemsize)
+        isize = 8 if dtype_name == "float64" else 4  # mixed pipeline is f32
+        bytes_model = fl.sytrd_bytes(n_pad, split, isize)
         hbm_frac = round(bytes_model / t_tri / bw_peak, 3)
 
     # --- baseline: XLA QDWH eigh.  At M>=16k the baseline itself fails on
@@ -172,16 +179,20 @@ def main() -> None:
     # baseline instead of crashing the bench.
     t_eigh = ev_gap = None
     compile_eigh_s = 0.0
+    # mixed compares against the FAST f32 eigh (f64 eigh is software-
+    # emulated on TPU) — the point of mixed is f64-level residuals at
+    # f32-pipeline speed
+    ad_base = ad.astype(jnp.float32) if mixed else ad
     try:
         eigh = jax.jit(jnp.linalg.eigh)
         t0 = time.time()
-        w2, v2 = eigh(ad)
+        w2, v2 = eigh(ad_base)
         _sync_scalar(w2)
         compile_eigh_s = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.time()
-            w2, v2 = eigh(ad)
+            w2, v2 = eigh(ad_base)
             _sync_scalar(w2 + v2[0, :])
             times.append(time.time() - t0)
         t_eigh = min(times)

@@ -15,8 +15,9 @@ Implementation notes for this environment:
   every timed region ends with a dependent scalar fetch;
 * the persistent compilation cache (.jax_cache) makes reruns fast.
 
-Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64), EK_BENCH_SOLVER,
-EK_BENCH_BLOCK.
+Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64|mixed — mixed runs
+the f32 pipeline + f64 Newton refinement and checks the residual at f64),
+EK_BENCH_SOLVER, EK_BENCH_BLOCK, EK_BENCH_NVEC, EK_BENCH_FULL, EK_BENCH_LOG.
 """
 
 import json
@@ -168,7 +169,9 @@ def main() -> None:
     t_tri = stage_times.get("sep:tridiagonalize")
     bw_peak = fl.chip_hbm_bw(jax.devices()[0].device_kind)
     if t_tri and bw_peak and spec.core == "one_stage":
-        split = int(os.environ.get("EK_SYTRD_SPLIT", "8"))
+        from eigenkernel_tpu.ops.householder import DEFAULT_SYTRD_SPLIT
+        split = int(os.environ.get("EK_SYTRD_SPLIT",
+                                   str(DEFAULT_SYTRD_SPLIT)))
         isize = 8 if dtype_name == "float64" else 4  # mixed pipeline is f32
         bytes_model = fl.sytrd_bytes(n_pad, split, isize)
         hbm_frac = round(bytes_model / t_tri / bw_peak, 3)

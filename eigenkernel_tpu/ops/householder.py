@@ -43,6 +43,10 @@ from jax.sharding import Mesh
 from eigenkernel_tpu.ops.blocked import _wsc
 
 
+# shared with bench.py's roofline model — keep in one place
+DEFAULT_SYTRD_SPLIT = 8
+
+
 class TridiagResult(NamedTuple):
     d: jax.Array      # (n,)   diagonal of T
     e: jax.Array      # (n-1,) subdiagonal of T
@@ -99,7 +103,7 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     # bottleneck) toward the optimal 4n^3/3 bytes — split=2: 2.29 n^3,
     # split=4: 1.73 n^3, split=8: 1.52 n^3 — at the cost of a bigger
     # compiled program (TPU v5e M=8192 solve totals: 2.33/1.85/1.68 s).
-    split = int(os.environ.get("EK_SYTRD_SPLIT", "8"))
+    split = int(os.environ.get("EK_SYTRD_SPLIT", str(DEFAULT_SYTRD_SPLIT)))
     d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh, split)
     return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
                          V=vstore, taus=taus)

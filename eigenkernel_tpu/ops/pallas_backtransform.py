@@ -25,7 +25,9 @@ visible in interpret mode):
 
       S_head[t] = sum_{r>=off} W[t,r] z[t,r,:],  S_tail likewise (r<off)
       coef[t]   = S_head[t] + S_tail[t+1]
-      z[t,r,:] -= W[t,r] * (r>=off ? tau[t]*coef[t] : tau[t-1]*coef[t-1])
+      z[t,r,:] -= W[t,r] * (r>=off ? coef[t] : coef[t-1])
+
+  (tau is already folded into W — see below — so no scaling appears here)
 
 * DMA'd blocks must keep tile-aligned trailing dims: the T axis of the
   reflector store is padded to a multiple of 8 (zero rows are exact

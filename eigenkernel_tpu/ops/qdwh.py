@@ -57,7 +57,7 @@ from jax import lax
 from jax.sharding import Mesh
 
 from eigenkernel_tpu.ops.blocked import (
-    _wsc, blocked_cholesky, symmetrize, trsm_lower)
+    _wsc, blocked_cholesky, gershgorin_sentinel, symmetrize, trsm_lower)
 from eigenkernel_tpu.ops.tridiag import cholqr2
 
 
@@ -129,11 +129,11 @@ def sign_qdwh(x: jax.Array, l0: Optional[float] = None, block: int = 256,
 def _j_split(a, sigma, n_real, g, block, mesh):
     """One spectral split of the sentinel-padded block ``a``.
 
-    Returns (v, d, k, off, orth): the orthogonal splitting basis, the
-    rotated matrix d = v^T a v (block-diagonal on success), the below-sigma
-    count k, the max cross-block coupling |d[>=k, <k]|, and the basis
-    orthogonality error — the last three are the host's split-quality
-    scalars.
+    Returns (v, d, k, off, orth, anorm_live): the orthogonal splitting
+    basis, the rotated matrix d = v^T a v (block-diagonal on success), the
+    below-sigma count k, the max cross-block coupling |d[>=k, <k]|, the
+    basis orthogonality error, and the live block's Frobenius norm — the
+    last four are the host's split-quality scalars.
     """
     m = a.shape[0]
     dt = a.dtype
@@ -168,8 +168,6 @@ def _j_slice_pad(d, off, kk, m_out):
     the (m_out, m_out) superset, rows/cols >= kk are masked off, and the
     sentinel diagonal is written from the shared Gershgorin bound.
     """
-    from eigenkernel_tpu.ops.blocked import gershgorin_sentinel
-
     m_in = d.shape[0]
     big = max(m_in, m_out)
     dp = d if m_in == big else \

@@ -128,12 +128,10 @@ def _j_sentinelize(a, n_real):
     spectrum of the leading ``n_real`` block (Gershgorin), so padded
     eigenpairs sort last and the lowest n_real eigenpairs are the real ones.
     """
-    from eigenkernel_tpu.ops.blocked import gershgorin_sentinel
-
     n = a.shape[0]
     if n == n_real:
         return a
-    mu = gershgorin_sentinel(a[:n_real, :n_real])
+    mu = blocked.gershgorin_sentinel(a[:n_real, :n_real])
     idx = jnp.arange(n)
     pad_mask = idx >= n_real
     diag_new = jnp.where(pad_mask, mu, jnp.diag(a))

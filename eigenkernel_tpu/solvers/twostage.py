@@ -76,8 +76,12 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         # measured on TPU v5e (both schedules gather-free): the wavefront's
         # 4n batched covering-slice steps win over the sequential chase's
         # n^2/bw latency-bound windows once T = n/bw is large
-        # (4096/bw64: wf 3.09s vs seq 3.43s; 4096/bw128: seq 2.80s wins)
+        # (4096/bw64: wf 3.09s vs seq 3.43s; 4096/bw128: seq 2.80s wins).
+        # Single-device only: on a mesh the chunked sequential path bounds
+        # the replicated in-flight reflector state to n^2/chunks, which
+        # the wavefront's scan-stacked store would reintroduce.
         schedule = "wavefront" if (jax.default_backend() == "tpu"
+                                   and ctx.mesh is None
                                    and n // bw >= 48) else "sequential"
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh,
                     flops=fl.full_to_band(n, bw))

@@ -109,8 +109,14 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         app = s[rows, rows]
         aqq = s[rows + 1, rows + 1]
         apq = s[rows, rows + 1]
-        safe = jnp.abs(apq) > jnp.finfo(dtype).tiny
+        # thresholds/clamps sized for TPU's range-limited emulated f64
+        # (double-float: ~f64 precision, f32 EXPONENT range — finfo.tiny
+        # flushes to 0 and any overflow, e.g. tau^2, yields NaN rather
+        # than inf).  tau clamped to 1e18 keeps tau^2 in range; the
+        # resulting t ~ 5e-19 is an exact-enough zero rotation.
+        safe = jnp.abs(apq) > jnp.asarray(1e-30, dtype)
         tau = (aqq - app) / jnp.where(safe, 2.0 * apq, 1.0)
+        tau = jnp.clip(tau, -1e18, 1e18)
         t = jnp.where(
             safe,
             jnp.where(tau >= 0, 1.0, -1.0) /

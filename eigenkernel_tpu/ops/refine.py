@@ -42,7 +42,7 @@ from eigenkernel_tpu.ops.blocked import _wsc
 
 
 def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
-                      steps: int = 6, mesh: Optional[Mesh] = None,
+                      steps: int = 0, mesh: Optional[Mesh] = None,
                       gap_factor: float = 30.0):
     """Refine approximate eigenvectors ``v`` (columns) of ``A [x = lam B x]``
     in the dtype of ``a`` (use f64 inputs to refine f32 results).
@@ -50,6 +50,10 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     Returns (values, vectors) with vectors [B-]orthonormal to working
     precision.  ``v`` may be lower precision; it is promoted.
     """
+    import os
+
+    if steps <= 0:
+        steps = int(os.environ.get("EK_REFINE_STEPS", "8"))
     dtype = a.dtype
     v = v.astype(dtype)
     if b is not None:

@@ -53,7 +53,7 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     import os
 
     if steps <= 0:
-        steps = int(os.environ.get("EK_REFINE_STEPS", "8"))
+        steps = int(os.environ.get("EK_REFINE_STEPS", "6"))
     dtype = a.dtype
     v = v.astype(dtype)
     if b is not None:

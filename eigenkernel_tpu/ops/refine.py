@@ -61,6 +61,7 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     k = v.shape[1]
     eye = jnp.eye(k, dtype=dtype)
     lam = None
+    tiny_prev = None
     for _ in range(steps):
         av = _wsc(a @ v, mesh)
         bv = _wsc(b @ v, mesh) if b is not None else v
@@ -81,6 +82,14 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         eps = jnp.finfo(dtype).eps
         floor = 100.0 * jnp.sqrt(eps)
         tiny = scale * jnp.maximum(gap_factor * err_est, floor)
+        # MONOTONE threshold: a step's big rotations spike the
+        # orthonormality defect, which would re-freeze the marginal-gap
+        # pairs just corrected and lock the iteration into a limit cycle
+        # (observed plateau at n=4096: resid stuck at 9.1e-10 for 6 and 8
+        # steps alike); never letting the threshold grow breaks the cycle
+        if tiny_prev is not None:
+            tiny = jnp.minimum(tiny, tiny_prev)
+        tiny_prev = tiny
         safe = jnp.abs(dl) > tiny
         e_off = jnp.where(safe, (s + f * lam[None, :]) /
                           jnp.where(safe, dl, 1.0), f * 0.5)

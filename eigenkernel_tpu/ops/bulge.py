@@ -575,7 +575,10 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
     w = lax.dynamic_update_slice(w, _banded_state(band, b, mesh), (pad, 0))
     jarr = jnp.arange(nW)
 
-    # Flat-stride window views with NO gathers or scatters at all: one
+    # Flat-stride window views with no element gathers in the two-sided
+    # band update (the O(n*bw) gathers are what made the first design 34x
+    # slower; the only remaining scatter is the one post-scan reflector
+    # store assembly below): one
     # wavefront step's windows sit at a UNIFORM row stride 4b-1 (p_j =
     # p_0 + j*(4b-1)), so the whole multi-window view is a single
     # dynamic_slice of the flattened banded array reshaped into per-window
@@ -604,10 +607,10 @@ def band_to_tridiag_wavefront(band: jax.Array, bw: int,
         tile_r = cov_r.reshape(nW, stride)[:, :b * (W - 1)].reshape(
             nW, b, W - 1)
         # tile_r[j, i, q] = A[p_j+i, p_j-b-1+q] for q < win;
-        # the pivot column A[:, jcol] sits at q = jcol - p + b + 1
-        jrel = (jcol - p + b + 1)[:, None, None]            # in {b, 1}
-        x = jnp.take_along_axis(tile_r, jnp.broadcast_to(
-            jrel, (t.shape[0], b, 1)), axis=2)[:, :, 0]     # (nW, b)
+        # the pivot column A[:, jcol] sits at q = jcol - p + b + 1, which
+        # is b for the single t==0 lane (jcol=c, p=c+1) and 1 everywhere
+        # else — a select between two STATIC column slices, not a gather
+        x = jnp.where((t == 0)[:, None], tile_r[:, :, b], tile_r[:, :, 1])
         x = x * live[:, None].astype(dtype)
         tail = x[:, 1:]
         sigma = jnp.sum(tail * tail, axis=1)

@@ -104,9 +104,18 @@ def sign_qdwh(x: jax.Array, l0: Optional[float] = None, block: int = 256,
     if l0 is None:
         l0 = 1e-16 if dt == jnp.float64 else 1e-7
     eye = jnp.eye(m, dtype=dt)
+    # accuracy-critical GEMMs carry their own precision context (TPU
+    # lowers f32 matmuls to bf16 passes by default, which degrades the
+    # sign projector enough to force repeated split rejections) — do not
+    # rely on the caller's pipelines._run wrapper
+    with jax.default_matmul_precision("highest"):
+        return _sign_qdwh_body(x, l0, mesh, qr_switch, m, dt, eye,
+                               _chol_block(m, block))
+
+
+def _sign_qdwh_body(x, l0, mesh, qr_switch, m, dt, eye, bl):
     alpha = jnp.maximum(jnp.linalg.norm(x), jnp.asarray(1e-30, dt))
     x = _wsc(x / alpha, mesh)
-    bl = _chol_block(m, block)
     for a, b, c in qdwh_weights(l0):
         # a/b/c are host floats: weak-typed scalars keep x's dtype and the
         # QR-vs-Cholesky variant choice is a trace-time branch
@@ -135,28 +144,30 @@ def _j_split(a, sigma, n_real, g, block, mesh):
     basis orthogonality error, and the live block's Frobenius norm — the
     last four are the host's split-quality scalars.
     """
-    m = a.shape[0]
-    dt = a.dtype
-    idx = jnp.arange(m)
-    live = idx < n_real
-    # block-diagonal probe: random core, exact identity on the pad block
-    gmat = jnp.where(live[:, None] & live[None, :], g.astype(dt), 0)
-    gmat = gmat + jnp.diag(jnp.where(live, 0, 1).astype(dt))
-    u = sign_qdwh(a - sigma * jnp.eye(m, dtype=dt), block=block, mesh=mesh)
-    k = jnp.round((m - jnp.trace(u)) / 2).astype(jnp.int32)
-    pg = 0.5 * (gmat - u @ gmat)                 # P_minus @ G
-    y = jnp.where(idx[None, :] < k, pg, gmat - pg)
-    v = cholqr2(_wsc(y, mesh), block=block, mesh=mesh)
-    d = symmetrize(v.T @ _wsc(a @ v, mesh))
-    cross = (idx[:, None] >= k) & (idx[None, :] < k)
-    off = jnp.max(jnp.abs(d) * cross)
-    orth = jnp.max(jnp.abs(v.T @ v - jnp.eye(m, dtype=dt)))
-    # gate the coupling against the LIVE block's norm: the padded norm
-    # grows with inherited sentinels (~1.125x per level) and would
-    # progressively loosen the tolerance at depth
-    anorm_live = jnp.linalg.norm(
-        jnp.where(live[:, None] & live[None, :], a, 0))
-    return v, d, k, off, orth, anorm_live
+    with jax.default_matmul_precision("highest"):
+        m = a.shape[0]
+        dt = a.dtype
+        idx = jnp.arange(m)
+        live = idx < n_real
+        # block-diagonal probe: random core, exact identity on the pad
+        gmat = jnp.where(live[:, None] & live[None, :], g.astype(dt), 0)
+        gmat = gmat + jnp.diag(jnp.where(live, 0, 1).astype(dt))
+        u = sign_qdwh(a - sigma * jnp.eye(m, dtype=dt), block=block,
+                      mesh=mesh)
+        k = jnp.round((m - jnp.trace(u)) / 2).astype(jnp.int32)
+        pg = 0.5 * (gmat - u @ gmat)                 # P_minus @ G
+        y = jnp.where(idx[None, :] < k, pg, gmat - pg)
+        v = cholqr2(_wsc(y, mesh), block=block, mesh=mesh)
+        d = symmetrize(v.T @ _wsc(a @ v, mesh))
+        cross = (idx[:, None] >= k) & (idx[None, :] < k)
+        off = jnp.max(jnp.abs(d) * cross)
+        orth = jnp.max(jnp.abs(v.T @ v - jnp.eye(m, dtype=dt)))
+        # gate the coupling against the LIVE block's norm: the padded norm
+        # grows with inherited sentinels (~1.125x per level) and would
+        # progressively loosen the tolerance at depth
+        anorm_live = jnp.linalg.norm(
+            jnp.where(live[:, None] & live[None, :], a, 0))
+        return v, d, k, off, orth, anorm_live
 
 
 @partial(jax.jit, static_argnames=("m_out",))

@@ -42,17 +42,21 @@ from eigenkernel_tpu.ops.blocked import _wsc
 
 
 def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
-                      steps: int = 0, mesh: Optional[Mesh] = None,
+                      steps: int | None = None, mesh: Optional[Mesh] = None,
                       gap_factor: float = 30.0):
     """Refine approximate eigenvectors ``v`` (columns) of ``A [x = lam B x]``
     in the dtype of ``a`` (use f64 inputs to refine f32 results).
+
+    ``steps=None`` (the default) reads the ``EK_REFINE_STEPS`` env knob
+    (default 6); an explicit ``steps=0`` disables the Newton iteration and
+    runs only the cluster-Jacobi cleanup.
 
     Returns (values, vectors) with vectors [B-]orthonormal to working
     precision.  ``v`` may be lower precision; it is promoted.
     """
     import os
 
-    if steps <= 0:
+    if steps is None:
         steps = int(os.environ.get("EK_REFINE_STEPS", "6"))
     dtype = a.dtype
     v = v.astype(dtype)
@@ -132,8 +136,14 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         # (double-float: ~f64 precision, f32 EXPONENT range — finfo.tiny
         # flushes to 0 and any overflow, e.g. tau^2, yields NaN rather
         # than inf).  tau clamped to 1e18 keeps tau^2 in range; the
-        # resulting t ~ 5e-19 is an exact-enough zero rotation.
-        safe = jnp.abs(apq) > jnp.asarray(1e-30, dtype)
+        # resulting t ~ 5e-19 is an exact-enough zero rotation.  The
+        # range-limited 1e-30 guard applies only where the range IS
+        # limited; elsewhere the relative-scale finfo.tiny guard keeps
+        # rotations live even for very small-norm matrices.
+        range_limited = (jax.default_backend() == "tpu"
+                         and dtype == jnp.float64)
+        tiny_thr = 1e-30 if range_limited else float(jnp.finfo(dtype).tiny)
+        safe = jnp.abs(apq) > jnp.asarray(tiny_thr, dtype)
         tau = (aqq - app) / jnp.where(safe, 2.0 * apq, 1.0)
         tau = jnp.clip(tau, -1e18, 1e18)
         t = jnp.where(

@@ -146,21 +146,20 @@ def main(argv=None) -> int:
 
     spec = get_spec(arg.solver_type)
 
-    # --- read matrices on process 0 (read_matrix_file analog)
+    # --- read matrices on process 0 (read_matrix_file analog); COO only —
+    # densification happens shard-locally after the broadcast
     t0 = time.time()
-    # 'mixed' keeps the host copy in f64 (refinement needs full precision)
+    # 'mixed' keeps the device copy in f64 (refinement needs full precision)
     dtype = np.float32 if arg.dtype == "float32" else np.float64
-    a_dense = b_dense = None
+    mat_a = mat_b = None
     ok = True
     if master:
         try:
             mat_a = mm.read_matrix(arg.matrix_A_filename,
                                    arg.matrix_A_info, log)
-            a_dense = mat_a.to_dense(dtype)
             if arg.is_generalized_problem:
                 mat_b = mm.read_matrix(arg.matrix_B_filename,
                                        arg.matrix_B_info, log)
-                b_dense = mat_b.to_dense(dtype)
         except (OSError, mm.MatrixMarketError) as exc:
             ok = False
             print(f"[Error] read_matrix_file failed: {exc}",
@@ -169,18 +168,24 @@ def main(argv=None) -> int:
         return 1
     log.add_event("main:read_matrix_files", time.time() - t0)
 
-    # --- mesh setup + host broadcast (bcast_sparse_matrix analog: DCN
-    # replication to every process, then device_put shards onto the mesh)
+    # --- mesh setup + COO broadcast + shard-local densify
+    # (bcast_sparse_matrix analog, distribute_matrix.f90:481-523: O(nnz)
+    # DCN traffic; no process ever holds the full dense matrix — each
+    # builds only its own device shards, distribute_matrix.f90:401-422)
     t0 = time.time()
-    n = arg.matrix_A_info.rows
-    a_dense = mh.broadcast_from_host0(a_dense, (n, n), dtype)
-    if arg.is_generalized_problem:
-        b_dense = mh.broadcast_from_host0(b_dense, (n, n), dtype)
     mesh = None
     if not spec.single_device and n_dev > 1:
         mesh = meshlib.make_mesh(shape=arg.mesh_shape)
     if arg.is_printing_grid_mapping and master:
         meshlib.print_grid_mapping(mesh or meshlib.single_device_mesh())
+    mat_a = mh.bcast_coo(mat_a, arg.matrix_A_info.rows,
+                         arg.matrix_A_info.entries)
+    a_mat = meshlib.distribute_coo(mat_a, mesh, dtype)
+    b_mat = None
+    if arg.is_generalized_problem:
+        mat_b = mh.bcast_coo(mat_b, arg.matrix_B_info.rows,
+                             arg.matrix_B_info.entries)
+        b_mat = meshlib.distribute_coo(mat_b, mesh, dtype)
     log.add_event("main:bcast_sparse_matrices", time.time() - t0)
 
     if arg.is_dry_run:
@@ -202,10 +207,11 @@ def main(argv=None) -> int:
         else contextlib.nullcontext()
     try:
         with profile_cm:
-            pairs = solve(a_dense, b_dense, solver=arg.solver_type,
+            pairs = solve(a_mat, b_mat, solver=arg.solver_type,
                           n_vec=arg.n_vec if spec.selecting else None,
                           mesh=mesh, block_size=arg.block_size, log=log,
-                          dtype="mixed" if arg.dtype == "mixed" else None)
+                          dtype="mixed" if arg.dtype == "mixed" else None,
+                          n_logical=arg.matrix_A_info.rows)
             jax.block_until_ready((pairs.values, pairs.vectors))
     except Exception as exc:
         # terminate() analog (processes.f90:122-139): dump accumulated
@@ -229,8 +235,16 @@ def main(argv=None) -> int:
                                    arg.is_binary_output)
     log.add_event("main:print_eigenpairs", time.time() - t0)
 
+    # logical-n views for the checkers (the distributed arrays carry the
+    # mesh-divisibility zero pad; vectors are logical-n)
+    n_log = arg.matrix_A_info.rows
+    a_chk = a_mat[:n_log, :n_log] if a_mat.shape[0] != n_log else a_mat
+    b_chk = None
+    if b_mat is not None:
+        b_chk = b_mat[:n_log, :n_log] if b_mat.shape[0] != n_log else b_mat
+
     t0 = time.time()
-    ipr = get_ipratios(pairs, b_dense)
+    ipr = get_ipratios(pairs, b_chk)
     if master:
         outputs.write_ipratios(arg.ipratios_filename, ipr)
     log.add_event("main:compute_and_print_ipratios", time.time() - t0)
@@ -241,7 +255,7 @@ def main(argv=None) -> int:
         if master:
             print("\n----- Checker Call -----")
         a_norm, rn_ave, rn_max = eval_residual_norm(
-            a_dense, pairs, arg.n_check_vec, b_dense)
+            a_chk, pairs, arg.n_check_vec, b_chk)
         if master:
             print(f"A norm: {a_norm:15.8E}")
             print(f"residual norm (average): {rn_ave:15.8E}")
@@ -251,7 +265,7 @@ def main(argv=None) -> int:
     t0 = time.time()
     if arg.ortho_check_index_start != 0:
         ortho = eval_orthogonality(pairs, arg.ortho_check_index_start,
-                                   arg.ortho_check_index_end, b_dense)
+                                   arg.ortho_check_index_end, b_chk)
         if master:
             print(f"orthogonality criterion: {ortho:15.8E}")
     log.add_event("main:eval_orthogonality", time.time() - t0)

@@ -110,6 +110,49 @@ def distribute(host_mat: np.ndarray, mesh: Mesh,
     return jax.device_put(host_mat, sharding)
 
 
+def distribute_coo(coo, mesh: Optional[Mesh], dtype,
+                   sharding: Optional[NamedSharding] = None) -> jax.Array:
+    """Shard-local densify of a COO matrix onto the mesh.
+
+    The analog of distribute_global_sparse_matrix's per-nnz pdelset scatter
+    into block-cyclic local tiles (distribute_matrix.f90:401-422): each
+    process builds ONLY its addressable (n/r, n/c) dense shards from the
+    (already broadcast) triplets — no process materializes the full dense
+    matrix, which is what makes M=32k multi-host input feasible
+    (O(n^2/P) per device instead of O(n^2) per host).
+
+    Symmetrizes off-diagonal entries like the reference (both (i,j) and
+    (j,i) are set per nnz, distribute_matrix.f90:415-417).
+
+    The returned array is zero-padded up to the next mesh-divisible
+    dimension (shardings must tile evenly); pass the logical ``n`` to
+    ``solve(..., n_logical=n)`` downstream.
+    """
+    n = coo.size
+    if mesh is None:
+        return jax.device_put(coo.to_dense(dtype))
+    sharding = sharding or mat_sharding(mesh)
+    r, c = mesh.devices.shape
+    n_m = pad_to(n, math.lcm(r, c))
+    off = coo.rows != coo.cols
+    r_all = np.concatenate([coo.rows, coo.cols[off]])
+    c_all = np.concatenate([coo.cols, coo.rows[off]])
+    v_all = np.concatenate([coo.values, coo.values[off]]).astype(dtype)
+
+    def cb(index):
+        rs, cs = index
+        r0 = rs.start or 0
+        r1 = n_m if rs.stop is None else rs.stop
+        c0 = cs.start or 0
+        c1 = n_m if cs.stop is None else cs.stop
+        blk = np.zeros((r1 - r0, c1 - c0), dtype)
+        m = (r_all >= r0) & (r_all < r1) & (c_all >= c0) & (c_all < c1)
+        blk[r_all[m] - r0, c_all[m] - c0] = v_all[m]
+        return blk
+
+    return jax.make_array_from_callback((n_m, n_m), sharding, cb)
+
+
 def gather(x: jax.Array) -> np.ndarray:
     """Fetch a (possibly sharded) device array back to the host
     (gather_matrix analog, distribute_matrix.f90:185-258)."""

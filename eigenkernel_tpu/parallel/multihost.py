@@ -101,6 +101,34 @@ def bcast_matrix_info(info):
                       cols=int(vec[2]), entries=int(vec[3]))
 
 
+def bcast_coo(sp, size: int, entries: int):
+    """Broadcast a COO matrix from process 0 (bcast_sparse_matrix analog,
+    distribute_matrix.f90:481-523: the reference broadcasts the THREE COO
+    triplet arrays, not the dense matrix).  DCN traffic is O(nnz); the
+    dense matrix is only ever materialized shard-locally afterwards
+    (:func:`eigenkernel_tpu.parallel.mesh.distribute_coo`).
+
+    ``sp`` may be None on non-zero processes; ``size``/``entries`` come
+    from the already-broadcast header info.
+    """
+    if jax.process_count() == 1:
+        assert sp is not None
+        return sp
+    from jax.experimental import multihost_utils
+
+    from eigenkernel_tpu.core.types import SparseMatrix
+
+    if sp is not None:
+        pack = np.stack([sp.rows.astype(np.float64),
+                         sp.cols.astype(np.float64),
+                         sp.values.astype(np.float64)])
+    else:
+        pack = np.zeros((3, entries), np.float64)
+    pack = np.asarray(multihost_utils.broadcast_one_to_all(pack))
+    return SparseMatrix(size=size, rows=pack[0].astype(np.int64),
+                        cols=pack[1].astype(np.int64), values=pack[2])
+
+
 def broadcast_from_host0(x: Optional[np.ndarray], shape, dtype) -> np.ndarray:
     """Replicate host data from process 0 to all processes
     (bcast_sparse_matrix analog; DCN traffic, once per input).

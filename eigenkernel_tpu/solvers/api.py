@@ -32,17 +32,21 @@ from eigenkernel_tpu.solvers import pipelines as pl
 from eigenkernel_tpu.solvers.registry import get_spec
 
 
-@partial(jax.jit, static_argnames=("n_pad", "eye", "sharding", "dtype"))
-def _j_pad_device(x, n_pad, eye, sharding, dtype):
+@partial(jax.jit, static_argnames=("n_real", "n_pad", "eye", "sharding",
+                                   "dtype"))
+def _j_pad_device(x, n_real, n_pad, eye, sharding, dtype):
     """Pad an on-device matrix to (n_pad, n_pad) without a host round-trip.
 
-    ``eye=True`` puts ones on the padding diagonal (B-matrix padding)."""
-    n = x.shape[0]
+    ``x`` may itself carry zero padding beyond the logical ``n_real``
+    (e.g. the mesh-divisible pad of distribute_coo) — only the leading
+    (n_real, n_real) block is kept.  ``eye=True`` puts ones on the padding
+    diagonal (B-matrix padding)."""
+    keep = x[:n_real, :n_real] if x.shape[0] > n_real else x
     out = jnp.zeros((n_pad, n_pad), dtype)
-    out = jax.lax.dynamic_update_slice(out, x.astype(dtype), (0, 0))
-    if eye and n_pad > n:
+    out = jax.lax.dynamic_update_slice(out, keep.astype(dtype), (0, 0))
+    if eye and n_pad > n_real:
         idx = jnp.arange(n_pad)
-        out = out + jnp.diag((idx >= n).astype(dtype))
+        out = out + jnp.diag((idx >= n_real).astype(dtype))
     if sharding is not None:
         out = jax.lax.with_sharding_constraint(out, sharding)
     return out
@@ -54,8 +58,8 @@ def _pad_place(x, n: int, n_pad: int, dtype, sharding, eye: bool):
     only applies to host inputs); host inputs are padded in numpy then
     transferred once."""
     if isinstance(x, jax.Array):
-        return _j_pad_device(x, n_pad=n_pad, eye=eye, sharding=sharding,
-                             dtype=dtype)
+        return _j_pad_device(x, n_real=n, n_pad=n_pad, eye=eye,
+                             sharding=sharding, dtype=dtype)
     x_host = np.asarray(x, dtype=dtype)
     pad = np.zeros((n_pad, n_pad), dtype=dtype)
     pad[:n, :n] = x_host
@@ -81,10 +85,12 @@ def _pick_gemm_block(n_pad: int, panel: int, target: int = 256) -> int:
 def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
           n_vec: Optional[int] = None, mesh: Optional[Mesh] = None,
           block_size: int = 0, log: Optional[EventLog] = None,
-          dtype: Any = None) -> EigenPairs:
+          dtype: Any = None, n_logical: Optional[int] = None) -> EigenPairs:
     """Solve ``A x = lambda x`` or ``A x = lambda B x`` (B SPD).
 
-    ``a``/``b`` are host (or device) dense symmetric matrices.  Returns
+    ``a``/``b`` are host (or device) dense symmetric matrices.  Device
+    inputs may carry zero padding beyond ``n_logical`` rows/cols (e.g.
+    from :func:`eigenkernel_tpu.parallel.mesh.distribute_coo`).  Returns
     eigenvalues ascending and eigenvectors in columns; for generalized
     problems the vectors are B-orthonormal (dsygv convention).
     """
@@ -92,11 +98,11 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     if spec.generalized != (b is not None):
         kind = "generalized" if b is not None else "standard"
         raise ValueError(f"solver '{solver}' is not for {kind} problems")
-    if not spec.selecting and n_vec is not None and n_vec != a.shape[0]:
+    n = int(n_logical if n_logical is not None else a.shape[0])
+    if not spec.selecting and n_vec is not None and n_vec != n:
         raise ValueError(
             f"solver '{solver}' does not support partial computation")
 
-    n = int(a.shape[0])
     if a.shape[0] != a.shape[1] or (b is not None and b.shape != a.shape):
         raise ValueError("matrix dimension mismatch")
     n_vec = n if n_vec is None else int(n_vec)

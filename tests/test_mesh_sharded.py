@@ -87,3 +87,61 @@ def test_sharded_solve_matches_reference(mesh8, solver):
     assert p.sharded
     assert np.abs(np.array(p.values) - wref).max() < 1e-10
     assert np.abs(resid).max() < 1e-9
+
+
+def test_distribute_coo_shard_local(mesh8, monkeypatch):
+    # VERDICT r2 #5: COO broadcast + shard-local densify — no process may
+    # materialize the full dense matrix before placement.  to_dense is
+    # poisoned; each addressable shard holds exactly n^2/8 elements.
+    import jax
+
+    from eigenkernel_tpu.core.types import SparseMatrix
+    from eigenkernel_tpu.parallel.mesh import distribute_coo
+
+    n = 4096
+    rng = np.random.default_rng(11)
+    nnz = 40 * n
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, rows + 1)           # lower triangle
+    vals = rng.standard_normal(nnz)
+    diag = np.arange(n)
+    coo = SparseMatrix(size=n,
+                       rows=np.concatenate([rows, diag]),
+                       cols=np.concatenate([cols, diag]),
+                       values=np.concatenate([vals, np.ones(n)]))
+
+    def poisoned(self, dtype=np.float64):
+        raise AssertionError("full dense materialized on host")
+
+    monkeypatch.setattr(SparseMatrix, "to_dense", poisoned)
+    x = distribute_coo(coo, mesh8, np.float64)
+    assert x.shape == (n, n)
+    shard_elems = {s.data.size for s in x.addressable_shards}
+    assert shard_elems == {n * n // 8}
+    monkeypatch.undo()
+    ref = coo.to_dense(np.float64)
+    sub = np.asarray(x[:128, :128])
+    assert np.array_equal(sub, ref[:128, :128])
+    assert float(jnp.sum(jnp.abs(x))) == pytest.approx(np.abs(ref).sum(),
+                                                       rel=1e-12)
+
+
+def test_distribute_coo_pads_uneven(mesh8):
+    from eigenkernel_tpu.core.types import SparseMatrix
+    from eigenkernel_tpu.parallel.mesh import distribute_coo
+    from eigenkernel_tpu.solvers import solve
+
+    n = 30
+    rng = np.random.default_rng(3)
+    a_h = rng.standard_normal((n, n))
+    a_h = (a_h + a_h.T) / 2
+    il, jl = np.tril_indices(n)
+    coo = SparseMatrix(size=n, rows=il, cols=jl, values=a_h[il, jl])
+    x = distribute_coo(coo, mesh8, np.float64)
+    assert x.shape == (32, 32)                  # lcm(2,4)-padded
+    assert np.asarray(x[:n, :n]) == pytest.approx(a_h)
+    assert float(jnp.sum(jnp.abs(x[n:, :]))) == 0.0
+    p = solve(x, solver="scalapack", mesh=mesh8, n_logical=n)
+    w_ref = np.linalg.eigvalsh(a_h)
+    assert np.abs(np.asarray(p.values) - w_ref).max() < 1e-12
+    assert p.vectors.shape == (n, n)

@@ -87,7 +87,36 @@ def test_odd_dimension_padding(problem):
 
 
 def test_float32(problem):
+    # residual-based bound (VERDICT r2 #8): ~1e-5 * ||A||_F catches a
+    # mis-scaled reflector that the old 5e-3 eigenvalue bound would hide
     A, _, wstd, _ = problem
     p = solve(A.astype(np.float32), solver="scalapack")
     assert p.values.dtype == np.float32
-    assert np.abs(np.array(p.values) - wstd).max() < 5e-3
+    V = np.array(p.vectors, dtype=np.float64)
+    resid = A @ V - V * np.array(p.values, dtype=np.float64)[None, :]
+    a_norm = np.linalg.norm(A)
+    assert np.abs(resid).max() / a_norm < 1e-5
+    assert np.abs(V.T @ V - np.eye(N)).max() < 1e-4
+    assert np.abs(np.array(p.values) - wstd).max() < 1e-4 * a_norm
+
+
+def test_selecting_forced_cluster_large():
+    """pdsyevx cluster-pathology parity (solver_scalapack_select.f90:104-135):
+    a tight eigenvalue cluster inside the selected window must come out
+    with orthonormal eigenvectors (shift separation + CholeskyQR2)."""
+    n, k = 2048, 64
+    rng = np.random.default_rng(17)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.sort(rng.standard_normal(n) * 10.0)
+    # force a 24-wide near-degenerate cluster straddling the selection edge
+    w[40:64] = w[40] + np.arange(24) * 1e-13
+    A = (q * w) @ q.T
+    A = (A + A.T) / 2
+    p = solve(A, solver="scalapack_select", n_vec=k)
+    vals = np.array(p.values)
+    assert np.abs(vals - np.sort(w)[:k]).max() < 1e-8 * np.abs(w).max()
+    V = np.array(p.vectors)
+    # orthogonality INSIDE the cluster is the failure mode being tested
+    assert np.abs(V.T @ V - np.eye(k)).max() < 1e-9
+    resid = A @ V - V * vals[None, :]
+    assert np.abs(resid).max() / np.linalg.norm(A) < 1e-12

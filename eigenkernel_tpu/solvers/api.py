@@ -133,17 +133,34 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     ctx = pl.SolverContext(mesh=ctx_mesh, block_size=panel,
                            gemm_block=gemm_block, log=log)
 
+    # Selecting solvers (pdsyevx analog) default to the two-stage SEP core
+    # on TPU at scale: the partial-spectrum path otherwise inherits the
+    # full HBM-bound one-stage tridiagonalization, which dominates
+    # (measured: lowest-500 of 16k spent 10.5 of 10.5 s there).  The
+    # two-stage reduction is GEMM-rich and the back-transform only touches
+    # the selected k columns.  EK_SELECT_CORE=one_stage|two_stage pins it.
+    core = spec.core
+    if spec.selecting and core == "one_stage":
+        import os
+
+        sel = os.environ.get("EK_SELECT_CORE", "auto")
+        if sel == "auto":
+            if jax.default_backend() == "tpu" and n >= 2048:
+                core = "two_stage"
+        elif sel in ("one_stage", "two_stage"):
+            core = sel
+
     # --- pad + place (distribute_global_sparse_matrix / bcast analog)
     np_dtype = np.dtype(dtype)
     sharding = meshlib.mat_sharding(mesh) if mesh is not None else None
     a_dev = _pad_place(a, n, n_pad, np_dtype, sharding, eye=False)
 
     if b is None:
-        w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, spec.core)
+        w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, core)
     else:
         b_dev = _pad_place(b, n, n_pad, np_dtype, sharding, eye=True)
         w, z = pl.generalized_pipeline(ctx, a_dev, b_dev, n_vec, n,
-                                       spec.core, spec.reduction)
+                                       core, spec.reduction)
 
     values = w[:n_vec]
     vectors = z[:n, :n_vec]

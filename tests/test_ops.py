@@ -186,3 +186,23 @@ def test_bulge_chase_wavefront_matches_sequential():
     assert np.abs(np.array(r1.e) - np.array(r2.e)).max() < 1e-11
     assert np.abs(np.array(r1.HV) - np.array(r2.HV)).max() < 1e-11
     assert np.abs(np.array(r1.HT) - np.array(r2.HT)).max() < 1e-11
+
+
+@pytest.mark.parametrize("n,bw", [(120, 8), (96, 16), (130, 8), (160, 4)])
+def test_bulge_chase_wavefront2_matches_sequential(n, bw):
+    # lean lower-banded stagger-4 rewrite (the TPU default schedule):
+    # same reflectors as the sequential chase up to rounding
+    from eigenkernel_tpu.ops.bulge import (
+        band_to_tridiag, band_to_tridiag_wavefront2)
+
+    rng = np.random.default_rng(n + bw)
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2
+    i, j = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    A = np.where(np.abs(i - j) <= bw, A, 0.0)
+    r1 = band_to_tridiag(jnp.asarray(A), bw)
+    r2 = band_to_tridiag_wavefront2(jnp.asarray(A), bw)
+    assert np.abs(np.array(r1.d) - np.array(r2.d)).max() < 1e-10
+    assert np.abs(np.array(r1.e) - np.array(r2.e)).max() < 1e-10
+    assert np.abs(np.array(r1.HV) - np.array(r2.HV)).max() < 1e-10
+    assert np.abs(np.array(r1.HT) - np.array(r2.HT)).max() < 1e-10

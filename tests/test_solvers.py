@@ -120,3 +120,18 @@ def test_selecting_forced_cluster_large():
     assert np.abs(V.T @ V - np.eye(k)).max() < 1e-9
     resid = A @ V - V * vals[None, :]
     assert np.abs(resid).max() / np.linalg.norm(A) < 1e-12
+
+
+def test_select_two_stage_core(problem, monkeypatch):
+    # VERDICT r2 #3: the selecting path routed through the two-stage core
+    # (full->band->tridiag + bisect/invit + k-column back-transform)
+    A, B, wstd, wgen = problem
+    monkeypatch.setenv("EK_SELECT_CORE", "two_stage")
+    p = solve(A, solver="scalapack_select", n_vec=10)
+    assert np.abs(np.array(p.values) - wstd[:10]).max() < 1e-10
+    V = np.array(p.vectors)
+    resid = A @ V - V * np.array(p.values)[None, :]
+    assert np.abs(resid).max() < 1e-10
+    assert np.abs(V.T @ V - np.eye(10)).max() < 1e-10
+    pg = solve(A, B, solver="general_scalapack_select", n_vec=10)
+    assert np.abs(np.array(pg.values) - wgen[:10]).max() < 1e-10

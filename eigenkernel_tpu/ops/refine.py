@@ -66,11 +66,49 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     eye = jnp.eye(k, dtype=dtype)
     lam = None
     tiny_prev = None
+
+    # On TPU the emulated-f64 matmul lowering is truncated (measured
+    # plateau: resid 1.8e-9 while CPU reaches 1.2e-15), so the
+    # residual-forming GEMMs go through the Ozaki bf16-slice path
+    # (ops/ozaki.py) — exact MXU products recombined to ~2^-48.
+    # EK_REFINE_GEMM=ozaki|f64 overrides the auto choice.
+    gemm_mode = os.environ.get("EK_REFINE_GEMM", "auto")
+    if gemm_mode == "auto":
+        gemm_mode = ("ozaki" if jax.default_backend() == "tpu"
+                     and dtype == jnp.float64 else "f64")
+    if gemm_mode == "ozaki":
+        from eigenkernel_tpu.ops import ozaki
+
+        op_a = ozaki.split_slices(a, 1)  # hoisted: A is fixed across steps
+        op_b = ozaki.split_slices(b, 1) if b is not None else None
+
+        def _residual_mats(v):
+            op_v = ozaki.split_slices(v, 0)
+            op_vt = ozaki.transpose_operand(op_v)
+            av = _wsc(ozaki.ozaki_matmul(op_a, op_v, out_dtype=dtype), mesh)
+            s = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(av, 0),
+                                        out_dtype=dtype), mesh)
+            if op_b is None:
+                r = _wsc(ozaki.ozaki_matmul(
+                    op_vt, op_v, out_dtype=dtype), mesh)
+                bv = v
+            else:
+                bv = _wsc(ozaki.ozaki_matmul(op_b, op_v,
+                                             out_dtype=dtype), mesh)
+                r = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(bv, 0),
+                                            out_dtype=dtype), mesh)
+            return av, bv, s, r
+    else:
+
+        def _residual_mats(v):
+            av = _wsc(a @ v, mesh)
+            bv = _wsc(b @ v, mesh) if b is not None else v
+            s = _wsc(v.T @ av, mesh)
+            r = _wsc(v.T @ bv, mesh)
+            return av, bv, s, r
+
     for _ in range(steps):
-        av = _wsc(a @ v, mesh)
-        bv = _wsc(b @ v, mesh) if b is not None else v
-        s = _wsc(v.T @ av, mesh)
-        r = _wsc(v.T @ bv, mesh)
+        av, bv, s, r = _residual_mats(v)
         lam = jnp.diagonal(s) / jnp.diagonal(r)
         f = eye - r
         dl = lam[None, :] - lam[:, None]          # lambda_j - lambda_i
@@ -98,19 +136,36 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         e_off = jnp.where(safe, (s + f * lam[None, :]) /
                           jnp.where(safe, dl, 1.0), f * 0.5)
         e = jnp.where(eye == 1, f * 0.5, e_off)
-        v = _wsc(v + v @ e, mesh)
+        if gemm_mode == "ozaki":
+            # the correction GEMM only needs ~eps32 RELATIVE accuracy:
+            # its result is O(err) and is added to v in f64, so an f32
+            # MXU GEMM contributes err*1e-7 — below the target
+            dv = (v.astype(jnp.float32) @ e.astype(jnp.float32))
+            v = _wsc(v + dv.astype(dtype), mesh)
+        else:
+            v = _wsc(v + v @ e, mesh)
     # Cluster cleanup: Newton freezes rotations inside near-degenerate
     # clusters (anything f32 could not separate).  Since cluster members
     # are adjacent in the sorted spectrum, a few batched adjacent-pair
     # Jacobi passes on the projected matrix S = V^T A V diagonalize every
     # cluster exactly — O(k^2) per pass plus ONE V @ J GEMM.
-    av = _wsc(a @ v, mesh)
-    s = _wsc(v.T @ av, mesh)
+    av, bv, s, r = _residual_mats(v)
     s, j_rot = _adjacent_jacobi(s, passes=6)
-    v = _wsc(v @ j_rot, mesh)
+    if gemm_mode == "ozaki":
+        # j_rot can carry O(1) in-cluster rotations whose application
+        # must not round v back to f32 accuracy — full-precision GEMM
+        v = _wsc(ozaki.ozaki_matmul(ozaki.split_slices(v, 1),
+                                    ozaki.split_slices(j_rot, 0),
+                                    out_dtype=dtype), mesh)
+    else:
+        v = _wsc(v @ j_rot, mesh)
     lam = jnp.diagonal(s)
     if b is not None:
-        bv = _wsc(b @ v, mesh)
+        if gemm_mode == "ozaki":
+            bv = _wsc(ozaki.ozaki_matmul(op_b, ozaki.split_slices(v, 0),
+                                         out_dtype=dtype), mesh)
+        else:
+            bv = _wsc(b @ v, mesh)
         lam = lam / jnp.sum(v * bv, axis=0)
     order = jnp.argsort(lam)
     return lam[order], v[:, order]

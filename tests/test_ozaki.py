@@ -1,0 +1,78 @@
+"""Ozaki bf16-slice GEMM: f64-grade accuracy from MXU-exact products.
+
+Validates the path that lets the mixed-precision refinement hit the
+reference's 1e-12 residual bar on TPU (BASELINE.md; verifier.f90
+accuracy model) without trusting the truncated emulated-f64 matmul.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from eigenkernel_tpu.ops import ozaki
+
+
+@pytest.mark.parametrize("n,k", [(96, 96), (128, 64), (200, 300)])
+def test_ozaki_matmul_accuracy(n, k):
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((n, k)) * np.exp(rng.standard_normal((n, k)) * 4)
+    b = rng.standard_normal((k, n)) * 10.0 ** rng.integers(-6, 6, (k, n))
+    ref = a @ b
+    got = np.asarray(ozaki.ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+    err = np.max(np.abs(got - ref)) / np.max(np.abs(ref))
+    assert err < 5e-13
+
+
+def test_ozaki_presplit_and_transpose_agree():
+    rng = np.random.default_rng(6)
+    a = rng.standard_normal((64, 96))
+    v = rng.standard_normal((96, 32))
+    op_a = ozaki.split_slices(jnp.asarray(a), 1)
+    op_v = ozaki.split_slices(jnp.asarray(v), 0)
+    c1 = np.asarray(ozaki.ozaki_matmul(op_a, op_v))
+    assert np.max(np.abs(c1 - a @ v)) / np.max(np.abs(a @ v)) < 1e-13
+    # transpose: (v^T a^T) == (a v)^T through the transposed operands
+    # (same exact products, TwoSum accumulation order differs -> ~2^-48)
+    c2 = np.asarray(ozaki.ozaki_matmul(ozaki.transpose_operand(op_v),
+                                       ozaki.transpose_operand(op_a)))
+    np.testing.assert_allclose(c2, c1.T, rtol=0,
+                               atol=1e-13 * np.max(np.abs(c1)))
+
+
+def test_ozaki_long_contraction_chunked():
+    # contraction beyond the exact-accumulation chunk (4096 at beta=5)
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((8, 6000))
+    b = rng.standard_normal((6000, 8))
+    ref = a @ b
+    got = np.asarray(ozaki.ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-13
+
+
+def test_ozaki_zero_rows_and_scales():
+    a = np.zeros((16, 16))
+    a[3, 4] = 1e20
+    a[5, :] = 1e-20
+    b = np.eye(16)
+    got = np.asarray(ozaki.ozaki_matmul(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, a, rtol=1e-13, atol=0)
+
+
+def test_refine_with_forced_ozaki_gemms(monkeypatch):
+    """End-to-end: Newton refinement reaches ~f64 residual with the
+    Ozaki GEMM path forced on (what the TPU mixed pipeline runs)."""
+    monkeypatch.setenv("EK_REFINE_GEMM", "ozaki")
+    from eigenkernel_tpu.ops.refine import refine_eigenpairs
+
+    rng = np.random.default_rng(11)
+    n = 128
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    # f32-quality starting vectors
+    w32, v32 = np.linalg.eigh(a.astype(np.float32))
+    lam, v = refine_eigenpairs(jnp.asarray(a), jnp.asarray(v32), steps=4)
+    lam, v = np.asarray(lam), np.asarray(v)
+    resid = np.max(np.abs(a @ v - v * lam[None, :])) / np.linalg.norm(a)
+    orth = np.max(np.abs(v.T @ v - np.eye(n)))
+    assert resid < 1e-12, resid
+    assert orth < 1e-12, orth

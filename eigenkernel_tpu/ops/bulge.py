@@ -73,8 +73,14 @@ def band_to_tridiag(band: jax.Array, bw: int,
     (:func:`band_to_tridiag_wavefront`) — same reflectors, ~8x fewer
     sequential steps.  schedule='wavefront2' is the lean lower-banded
     rewrite of the same schedule (one covering slice per step, half the
-    state) — the TPU default.
+    state).  schedule='pallas' runs the same wavefront2 schedule as ONE
+    VMEM-resident pallas kernel (ops/pallas_chase.py) — the TPU default
+    at scale.
     """
+    if schedule == "pallas":
+        from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+        return band_to_tridiag_pallas(band, bw, mesh=mesh)
     if schedule == "wavefront2":
         return band_to_tridiag_wavefront2(band, bw, mesh=mesh)
     if schedule == "wavefront":

@@ -101,3 +101,24 @@ def test_apply_chase_q_pallas_production_shape():
     out = np.array(apply_chase_q_pallas(res.HV, res.HT, z, bw,
                                         interpret=True))
     assert np.abs(out - ref).max() < 1e-12
+
+
+def test_pallas_chase_matches_wavefront2():
+    # the VMEM-resident chase must reproduce wavefront2 exactly (same
+    # reflectors, same schedule, same arithmetic — only the execution
+    # engine differs)
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    rng = np.random.default_rng(0)
+    n, bw = 192, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    ref = band_to_tridiag_wavefront2(br.band, bw)
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    assert np.abs(np.asarray(ref.d) - np.asarray(got.d)).max() == 0.0
+    assert np.abs(np.asarray(ref.e) - np.asarray(got.e)).max() == 0.0
+    assert np.abs(np.asarray(ref.HV) - np.asarray(got.HV)).max() == 0.0
+    assert np.abs(np.asarray(ref.HT) - np.asarray(got.HT)).max() == 0.0

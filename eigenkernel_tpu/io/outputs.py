@@ -6,9 +6,11 @@ Reference parity:
   eigenvalue, index 1-based, ~E26.16 float formatting.
 * ``write_ipratios``     <- main.f90:131-143 — same shape.
 * ``print_eigenvectors`` <- matrix_io.f90:173-285 — one file
-  ``<dir>/%08d.dat`` per requested vector; text lines ``i j value`` or raw
-  binary (``--binary``; we write a flat float64 little-endian vector instead
-  of Fortran unformatted records).
+  ``<dir>/%08d.dat`` per requested vector; text lines ``i j value`` or
+  binary (``--binary``): one Fortran unformatted sequential record
+  (``write(nout) work(1:m)``, matrix_io.f90:278) — 4-byte little-endian
+  length marker, float64 payload, trailing marker — byte-compatible with
+  the reference's gfortran output.
 * ``write_log_json``     <- main.f90:185-190 — ``{"setting": {...},
   "events": [{name, num_repeated, val}, ...]}``, the exact fson schema.
 """
@@ -92,7 +94,10 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
             col = block[:, j - lo]
             path = os.path.join(out_dir, f"{j:08d}.dat")
             if binary:
-                col.tofile(path)
+                payload = col.astype("<f8").tobytes()
+                marker = np.int32(len(payload)).tobytes()
+                with open(path, "wb") as f:
+                    f.write(marker + payload + marker)
             else:
                 from eigenkernel_tpu.io import native_mm
 

@@ -77,8 +77,20 @@ def test_print_eigenvectors_text_and_binary(tmp_path):
     rc = run_cli(tmp_path, ["-s", "general_scalapack", "-d", "vecsb",
                             "-p", "1", "--binary", A30, B30])
     assert rc == 0
-    vec = np.fromfile(tmp_path / "vecsb" / "00000001.dat")
+    # Fortran unformatted sequential record (matrix_io.f90:278): 4-byte
+    # length marker, float64 payload, trailing marker — scipy's reader
+    # consumes exactly this framing
+    raw = (tmp_path / "vecsb" / "00000001.dat").read_bytes()
+    assert len(raw) == 4 + 30 * 8 + 4
+    assert np.frombuffer(raw[:4], "<i4")[0] == 240
+    assert np.frombuffer(raw[-4:], "<i4")[0] == 240
+    vec = np.frombuffer(raw[4:-4], "<f8")
     assert vec.shape == (30,)
+    from scipy.io import FortranFile
+
+    with FortranFile(tmp_path / "vecsb" / "00000001.dat", "r") as ff:
+        vec2 = ff.read_reals("<f8")
+    np.testing.assert_array_equal(vec, vec2)
 
 
 def test_selecting_solver_cli(tmp_path):

@@ -117,12 +117,17 @@ def _two_sum_acc(hi: jax.Array, lo: jax.Array, p: jax.Array):
 
 
 def ozaki_matmul(a, b, q: int | None = None, beta: int = DEFAULT_BETA,
-                 out_dtype=None):
+                 out_dtype=None, max_diag: int | None = None):
     """C = a @ b to ~2^-48 relative accuracy using bf16 MXU GEMMs only.
 
     ``a``/``b`` may be arrays (split here) or pre-split ``OzakiOperand``s
     (a as (m,k) with contract_axis=1, b as (k,n) with contract_axis=0).
     Returns the product in ``out_dtype`` (default: f64 when x64 is on).
+
+    ``max_diag`` truncates the slice-pair expansion to ta+tb < max_diag,
+    giving ~2^(-beta*max_diag) relative accuracy at ~max_diag^2/2 GEMMs —
+    early Newton refinement steps only need gemm_err ~ err^2, so they run
+    a cheap truncation (see refine.py's step schedule).
     """
     if q is None:
         q = _env_q()
@@ -130,6 +135,8 @@ def ozaki_matmul(a, b, q: int | None = None, beta: int = DEFAULT_BETA,
     op_b = b if isinstance(b, OzakiOperand) else split_slices(b, 0, q, beta)
     beta = op_a.beta
     qa, qb = len(op_a.slices), len(op_b.slices)
+    if max_diag is not None:
+        qa, qb = min(qa, max_diag), min(qb, max_diag)
     k_dim = op_a.slices[0].shape[1]
     # f32 accumulation of (2*beta+2)-bit products is exact for chunks of
     # up to 2^(22-2*beta) terms; chunk the contraction beyond that.

@@ -81,34 +81,46 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
 
         op_a = ozaki.split_slices(a, 1)  # hoisted: A is fixed across steps
         op_b = ozaki.split_slices(b, 1) if b is not None else None
+        # per-step truncation of the slice-pair expansion: step k only
+        # needs gemm_err ~ err_k^2 (quadratic convergence), so the first
+        # steps run a ~3x cheaper expansion.  EK_REFINE_OZAKI_SCHED is a
+        # comma list of max_diag per step (last entry repeats).
+        sched = [int(x) for x in os.environ.get(
+            "EK_REFINE_OZAKI_SCHED", "6,9,11").split(",")]
 
-        def _residual_mats(v):
-            op_v = ozaki.split_slices(v, 0)
+        def _residual_mats(v, md=None):
+            op_v = ozaki.split_slices(v, 0, q=md)
             op_vt = ozaki.transpose_operand(op_v)
-            av = _wsc(ozaki.ozaki_matmul(op_a, op_v, out_dtype=dtype), mesh)
-            s = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(av, 0),
-                                        out_dtype=dtype), mesh)
+            av = _wsc(ozaki.ozaki_matmul(op_a, op_v, out_dtype=dtype,
+                                         max_diag=md), mesh)
+            s = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(av, 0, q=md),
+                                        out_dtype=dtype, max_diag=md), mesh)
             if op_b is None:
                 r = _wsc(ozaki.ozaki_matmul(
-                    op_vt, op_v, out_dtype=dtype), mesh)
+                    op_vt, op_v, out_dtype=dtype, max_diag=md), mesh)
                 bv = v
             else:
-                bv = _wsc(ozaki.ozaki_matmul(op_b, op_v,
-                                             out_dtype=dtype), mesh)
-                r = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(bv, 0),
-                                            out_dtype=dtype), mesh)
+                bv = _wsc(ozaki.ozaki_matmul(op_b, op_v, out_dtype=dtype,
+                                             max_diag=md), mesh)
+                r = _wsc(ozaki.ozaki_matmul(op_vt,
+                                            ozaki.split_slices(bv, 0, q=md),
+                                            out_dtype=dtype, max_diag=md),
+                         mesh)
             return av, bv, s, r
     else:
 
-        def _residual_mats(v):
+        def _residual_mats(v, md=None):
             av = _wsc(a @ v, mesh)
             bv = _wsc(b @ v, mesh) if b is not None else v
             s = _wsc(v.T @ av, mesh)
             r = _wsc(v.T @ bv, mesh)
             return av, bv, s, r
 
-    for _ in range(steps):
-        av, bv, s, r = _residual_mats(v)
+    for step_i in range(steps):
+        md = None
+        if gemm_mode == "ozaki":
+            md = sched[min(step_i, len(sched) - 1)]
+        av, bv, s, r = _residual_mats(v, md)
         lam = jnp.diagonal(s) / jnp.diagonal(r)
         f = eye - r
         dl = lam[None, :] - lam[:, None]          # lambda_j - lambda_i

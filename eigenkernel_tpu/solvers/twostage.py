@@ -70,7 +70,15 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
     from eigenkernel_tpu.obs import flops as fl
 
     n = a.shape[0]
-    bw = ctx.block_size
+    # the chase and to_band want different bandwidths: the chase's
+    # per-step work is ~nW*bw^2 ~ n*bw/4 (smaller bw cheaper, and the
+    # VMEM-resident pallas chase state is O(n*bw)), while to_band's HBM
+    # traffic is ~n^3*4/bw bytes (bigger bw cheaper).  Measured on v5e
+    # (evidence/): chase bw=32 beats 128 ~2x; to_band warm is subdominant
+    # at bw>=32.  EK_TWOSTAGE_BW overrides; 0/unset = ctx.block_size.
+    bw = int(os.environ.get("EK_TWOSTAGE_BW", "0")) or ctx.block_size
+    if n % bw != 0:
+        bw = ctx.block_size
     schedule = os.environ.get("EK_CHASE", "auto")
     if schedule == "auto":
         # measured on TPU v5e (both schedules gather-free): the wavefront's

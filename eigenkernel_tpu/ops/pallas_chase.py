@@ -103,26 +103,31 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state_scr, cov, sem, *,
 
     # Cover load.  vmem mode: direct vector load at a dynamic ROW offset
     # (hardware-validated; the same slice as a DMA source faults the
-    # worker — dynamic-offset VMEM->VMEM async copies are broken on this
+    # worker — unaligned dynamic-offset async copies are broken on this
     # toolchain, bisected via EK_PALLAS_CHASE_DBG stages 10/11).  hbm
-    # mode: per-step HBM->VMEM DMA into the cov scratch.
+    # mode: per-step HBM<->VMEM DMA of an 8-row-ALIGNED cover (sublane
+    # tile multiples) into the cov scratch; the 0..7 residual offset is
+    # taken inside VMEM with the validated direct dynamic load/store.
     base = pad + p0
     if vmem_state:
         cover = state[pl.ds(base, R), :] if dbg != 10 \
             else jnp.zeros((R, Wp), dtype)
     else:
-        cpin = pltpu.make_async_copy(state.at[pl.ds(base, R), :], cov, sem)
+        base8 = (base // 8) * 8
+        off = base - base8
+        cpin = pltpu.make_async_copy(state.at[pl.ds(base8, R + 8), :],
+                                     cov, sem)
         cpin.start()
         cpin.wait()
-        cover = cov[:]
+        cover = cov[pl.ds(off, R), :]
 
     def _writeback(new_flat):
         if vmem_state:
             state[pl.ds(base, R), :] = new_flat
         else:
-            cov[:] = new_flat
+            cov[pl.ds(off, R), :] = new_flat
             cpout = pltpu.make_async_copy(
-                cov, state.at[pl.ds(base, R), :], sem)
+                cov, state.at[pl.ds(base8, R + 8), :], sem)
             cpout.start()
             cpout.wait()
 
@@ -277,7 +282,9 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     schedule); falls back to the sequential core for tiny sizes."""
     n = band.shape[0]
     b = bw
-    if n <= 2 or bw <= 1 or mesh is not None:
+    if n <= 2 or bw < 4 or mesh is not None:
+        # bw>=4 keeps the trailing state margin >= the 8-row DMA
+        # alignment slack the hbm mode needs
         return _band_to_tridiag_seq(band, bw, mesh=mesh)
     dtype = band.dtype
     W = 2 * b + 1
@@ -294,9 +301,21 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     mode = os.environ.get("EK_PALLAS_CHASE_STATE", "")
     if mode not in ("vmem", "hbm"):
         # the state scratch must fit ~16 MB VMEM with headroom (vmem mode
-        # needs no cover scratch: it loads/stores the cover directly)
-        mode = ("vmem" if rows_tot * Wp * band.dtype.itemsize
-                < 10 * 2 ** 20 else "hbm")
+        # needs no cover scratch: it loads/stores the cover directly).
+        # NOTE rows are physically lane-padded to 128 whatever W is, so
+        # the budget is ~rows_tot*512 B and caps out near n=8192.
+        if rows_tot * max(Wp, 128) * band.dtype.itemsize >= 10 * 2 ** 20:
+            # hbm mode's per-step dynamic-offset DMAs crash the TPU
+            # worker on this toolchain (hardware-bisected 2026-08-17);
+            # until an aligned-DMA variant lands, fall back to the XLA
+            # wavefront for states beyond VMEM capacity.
+            if not interpret:
+                from eigenkernel_tpu.ops.bulge import \
+                    band_to_tridiag_wavefront2
+                return band_to_tridiag_wavefront2(band, bw, mesh=mesh)
+            mode = "hbm"
+        else:
+            mode = "vmem"
     vmem_state = mode == "vmem"
 
     w = jnp.zeros((rows_tot, Wp), dtype)
@@ -324,7 +343,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
         scratch_shapes=[
             pltpu.VMEM((rows_tot if vmem_state else 1,
                         Wp), dtype),
-            pltpu.VMEM((1 if vmem_state else R, Wp), dtype),
+            pltpu.VMEM((1 if vmem_state else R + 8, Wp), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={} if vmem_state else {0: 0},

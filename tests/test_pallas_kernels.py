@@ -133,3 +133,25 @@ def test_pallas_chase_matches_wavefront2():
     lam_tri = np.linalg.eigvalsh(Tm)
     scale = np.abs(lam_band).max()
     assert np.abs(lam_tri - lam_band).max() < 5e-5 * scale
+
+
+def test_pallas_chase_hbm_state_mode(monkeypatch):
+    # hbm mode (state beyond VMEM capacity): 8-row-aligned per-step DMA
+    # cover + in-VMEM residual offset must produce the same chase
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    monkeypatch.setenv("EK_PALLAS_CHASE_STATE", "hbm")
+    rng = np.random.default_rng(3)
+    n, bw = 96, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    lam_band = np.linalg.eigvalsh(np.asarray(br.band, np.float64))
+    Tm = (np.diag(np.asarray(got.d, np.float64))
+          + np.diag(np.asarray(got.e, np.float64), 1)
+          + np.diag(np.asarray(got.e, np.float64), -1))
+    lam_tri = np.linalg.eigvalsh(Tm)
+    scale = np.abs(lam_band).max()
+    assert np.abs(lam_tri - lam_band).max() < 5e-5 * scale

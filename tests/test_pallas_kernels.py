@@ -135,13 +135,13 @@ def test_pallas_chase_matches_wavefront2():
     assert np.abs(lam_tri - lam_band).max() < 5e-5 * scale
 
 
-def test_pallas_chase_hbm_state_mode(monkeypatch):
-    # hbm mode (state beyond VMEM capacity): 8-row-aligned per-step DMA
-    # cover + in-VMEM residual offset must produce the same chase
+def test_pallas_chase_ragged_lane_groups(monkeypatch):
+    # lane-group processing (scoped-VMEM bound): a group size that does
+    # not divide nW exercises the ragged last group + group loop
     from eigenkernel_tpu.ops.band import to_band
     from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
 
-    monkeypatch.setenv("EK_PALLAS_CHASE_STATE", "hbm")
+    monkeypatch.setenv("EK_PALLAS_CHASE_GROUP", "3")
     rng = np.random.default_rng(3)
     n, bw = 96, 8
     A = rng.standard_normal((n, n)).astype(np.float32)

@@ -215,8 +215,8 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
         vt_ref[0, :, :] = jnp.zeros((nW, b + 1), dtype)
     else:
         # lane groups: bounded scoped-VMEM live set per group
-        for g0 in range(0, nW, group):
-            G = min(group, nW - g0)
+        g0 = 0
+        for G in group:
             jarr = g0 + lax.broadcasted_iota(jnp.int32, (G, 1), 0)
             t = (tau % 4) + 4 * jarr                     # (G, 1)
             c = tau // 4 - jarr
@@ -245,6 +245,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                         new_rows[i]
             vt_ref[0, g0:g0 + G, :b] = v
             vt_ref[0, g0:g0 + G, b:] = tau_h
+            g0 += G
 
     @pl.when(tau == tau_max - 1)
     def _store():
@@ -282,11 +283,19 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
         from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
         return band_to_tridiag_wavefront2(band, bw, mesh=mesh)
 
-    # lane-group size: keeps the per-step scoped-VMEM live set ~3 MB
+    # lane-group sizes: keep the per-step scoped-VMEM live set ~3 MB
     # (the monolithic all-lane step exceeded the 16 MB scoped limit at
-    # n=4096/bw=32).  EK_PALLAS_CHASE_GROUP overrides.
-    group = int(os.environ.get("EK_PALLAS_CHASE_GROUP", "0")) or \
-        max(1, min(nW, (3 * 2 ** 20) // (10240 * b)))
+    # n=4096/bw=32).  Balanced partition with every part >= 2: a size-1
+    # group makes (1, b) vectors, which hit a Mosaic "Invalid relayout"
+    # bug (replicated-singleton, hardware-probed).  EK_PALLAS_CHASE_GROUP
+    # overrides the target size.
+    gtarget = int(os.environ.get("EK_PALLAS_CHASE_GROUP", "0")) or \
+        max(2, min(nW, (3 * 2 ** 20) // (10240 * b)))
+    ngroups = max(1, -(-nW // gtarget))
+    if ngroups > 1 and nW // ngroups < 2:
+        ngroups = max(1, nW // 2)
+    group = tuple(nW // ngroups + (1 if i < nW % ngroups else 0)
+                  for i in range(ngroups))
 
     w = jnp.zeros((rows_tot, Wp), dtype)
     w = lax.dynamic_update_slice(w, _banded_state(band, b, None, W=W),

@@ -225,10 +225,14 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             live = ((c >= 0) & (c <= n - 3) & (t <= T - 1)
                     & (p < n - 1) & (jcol < n - 1))      # (G, 1)
 
-            # per-lane loads of exactly the touched rows 0..2b
-            blocks = [state[pl.ds(base + (g0 + i) * stride, 2 * b + 1), :]
-                      .reshape(1, 2 * b + 1, Wp) for i in range(G)]
-            win = blocks[0] if G == 1 else jnp.concatenate(blocks, axis=0)
+            # ONE contiguous span load per group (consecutive lanes are
+            # exactly `stride` rows apart): minimizes per-step IO op
+            # count, which is the latency driver at ~4n grid steps.  The
+            # (G*stride, Wp) -> (G, stride, Wp) reshape is a leading-dim
+            # split, which Mosaic supports for any trailing shape.
+            span = state[pl.ds(base + g0 * stride, G * stride), :]
+            w3 = span.reshape(G, stride, Wp)
+            win = w3[:, :2 * b + 1, :]
 
             if dbg in (0, 11):
                 new_rows = jnp.concatenate([win[:, :b, :],
@@ -240,9 +244,10 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                     win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype)
 
             if dbg != 11:
-                for i in range(G):
-                    state[pl.ds(base + (g0 + i) * stride, 2 * b), :] = \
-                        new_rows[i]
+                new_span = jnp.concatenate(
+                    [new_rows, w3[:, 2 * b:, :]], axis=1)
+                state[pl.ds(base + g0 * stride, G * stride), :] = \
+                    new_span.reshape(G * stride, Wp)
             vt_ref[0, g0:g0 + G, :b] = v
             vt_ref[0, g0:g0 + G, b:] = tau_h
             g0 += G

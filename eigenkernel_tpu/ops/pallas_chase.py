@@ -225,14 +225,15 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             live = ((c >= 0) & (c <= n - 3) & (t <= T - 1)
                     & (p < n - 1) & (jcol < n - 1))      # (G, 1)
 
-            # ONE contiguous span load per group (consecutive lanes are
-            # exactly `stride` rows apart): minimizes per-step IO op
-            # count, which is the latency driver at ~4n grid steps.  The
-            # (G*stride, Wp) -> (G, stride, Wp) reshape is a leading-dim
-            # split, which Mosaic supports for any trailing shape.
-            span = state[pl.ds(base + g0 * stride, G * stride), :]
-            w3 = span.reshape(G, stride, Wp)
-            win = w3[:, :2 * b + 1, :]
+            # per-lane loads of exactly the touched rows 0..2b (a single
+            # contiguous (G*stride, Wp) span load would halve the IO op
+            # count, but its (G, stride, Wp) reshape needs 8-row-aligned
+            # splits and stride = 4b-1 is odd: Mosaic rejects it with
+            # "cannot statically prove index in dimension 0 is a
+            # multiple of 8"; the per-lane form is hardware-validated)
+            blocks = [state[pl.ds(base + (g0 + i) * stride, 2 * b + 1), :]
+                      .reshape(1, 2 * b + 1, Wp) for i in range(G)]
+            win = blocks[0] if G == 1 else jnp.concatenate(blocks, axis=0)
 
             if dbg in (0, 11):
                 new_rows = jnp.concatenate([win[:, :b, :],
@@ -244,10 +245,9 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                     win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype)
 
             if dbg != 11:
-                new_span = jnp.concatenate(
-                    [new_rows, w3[:, 2 * b:, :]], axis=1)
-                state[pl.ds(base + g0 * stride, G * stride), :] = \
-                    new_span.reshape(G * stride, Wp)
+                for i in range(G):
+                    state[pl.ds(base + (g0 + i) * stride, 2 * b), :] = \
+                        new_rows[i]
             vt_ref[0, g0:g0 + G, :b] = v
             vt_ref[0, g0:g0 + G, b:] = tau_h
             g0 += G
@@ -280,11 +280,16 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     stride = 4 * b - 1
     rows_tot = pad + p0_max + nW * stride + 2 * b + 2
 
-    if (rows_tot * Wp * band.dtype.itemsize >= 10 * 2 ** 20
-            and not interpret):
-        # dynamic-offset async copies crash the TPU worker (even 8-row-
-        # aligned), so an HBM-resident state has no working access path;
-        # beyond VMEM capacity use the XLA wavefront instead.
+    if ((rows_tot * Wp * band.dtype.itemsize >= 10 * 2 ** 20
+         or Wp > 128) and not interpret):
+        # Two hardware-probed limits: (a) dynamic-offset async copies
+        # crash the TPU worker (even 8-row-aligned), so an HBM-resident
+        # state has no working access path — beyond VMEM capacity use
+        # the XLA wavefront; (b) dynamic-row loads/stores on a multi-
+        # lane-tile memref (Wp > 128, i.e. bw > 63) fail Mosaic with
+        # "cannot statically prove that index in dimension 0 is a
+        # multiple of 8" — the single-tile Wp=128 form is the validated
+        # one, and bw<=63 is also where the chase is cheapest.
         from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
         return band_to_tridiag_wavefront2(band, bw, mesh=mesh)
 

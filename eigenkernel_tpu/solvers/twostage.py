@@ -76,21 +76,29 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
     # traffic is ~n^3*4/bw bytes (bigger bw cheaper).  Measured on v5e
     # (evidence/): chase bw=32 beats 128 ~2x; to_band warm is subdominant
     # at bw>=32.  EK_TWOSTAGE_BW overrides; 0/unset = ctx.block_size.
-    bw = int(os.environ.get("EK_TWOSTAGE_BW", "0")) or ctx.block_size
+    bw = int(os.environ.get("EK_TWOSTAGE_BW", "0")) or \
+        (32 if (jax.default_backend() == "tpu" and ctx.mesh is None
+                and n >= 2048 and n % 32 == 0) else ctx.block_size)
     if n % bw != 0:
         bw = ctx.block_size
     schedule = os.environ.get("EK_CHASE", "auto")
     if schedule == "auto":
-        # measured on TPU v5e (both schedules gather-free): the wavefront's
-        # 4n batched covering-slice steps win over the sequential chase's
-        # n^2/bw latency-bound windows once T = n/bw is large
-        # (4096/bw64: wf 3.09s vs seq 3.43s; 4096/bw128: seq 2.80s wins).
-        # Single-device only: on a mesh the chunked sequential path bounds
-        # the replicated in-flight reflector state to n^2/chunks, which
-        # the wavefront's scan-stacked store would reintroduce.
-        schedule = "wavefront" if (jax.default_backend() == "tpu"
-                                   and ctx.mesh is None
-                                   and n // bw >= 48) else "sequential"
+        # measured on TPU v5e (all schedules gather-free): the VMEM-
+        # resident pallas kernel removes the ~60-85 us XLA dispatch +
+        # HBM round-trip every wavefront step pays, and its dispatcher
+        # falls back to the XLA wavefront beyond VMEM capacity.  The
+        # wavefront's 4n batched covering-slice steps in turn beat the
+        # sequential chase's n^2/bw latency-bound windows once T = n/bw
+        # is large (4096/bw64: wf 3.09s vs seq 3.43s; 4096/bw128: seq
+        # 2.80s wins).  Single-device only: on a mesh the chunked
+        # sequential path bounds the replicated in-flight reflector
+        # state to n^2/chunks, which a wavefront scan-stacked store
+        # would reintroduce.
+        if (jax.default_backend() == "tpu" and ctx.mesh is None
+                and n // bw >= 32):
+            schedule = "pallas"   # falls back to wavefront2 beyond VMEM
+        else:
+            schedule = "sequential"
     band_res = _run(ctx, "sep:full_to_band", _j_to_band, a, bw, ctx.mesh,
                     flops=fl.full_to_band(n, bw))
     chunks = int(os.environ.get("EK_CHASE_CHUNKS",

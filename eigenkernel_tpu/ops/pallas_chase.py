@@ -197,7 +197,8 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
 
 def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                   n: int, b: int, W: int, Wp: int, T: int, nW: int,
-                  pad: int, tau_max: int, group: int, dbg: int = 2):
+                  pad: int, tau_max: int, group: tuple, span_io: bool,
+                  dbg: int = 2):
     tau = pl.program_id(0)
 
     @pl.when(tau == 0)
@@ -225,15 +226,20 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             live = ((c >= 0) & (c <= n - 3) & (t <= T - 1)
                     & (p < n - 1) & (jcol < n - 1))      # (G, 1)
 
-            # per-lane loads of exactly the touched rows 0..2b (a single
-            # contiguous (G*stride, Wp) span load would halve the IO op
-            # count, but its (G, stride, Wp) reshape needs 8-row-aligned
-            # splits and stride = 4b-1 is odd: Mosaic rejects it with
-            # "cannot statically prove index in dimension 0 is a
-            # multiple of 8"; the per-lane form is hardware-validated)
-            blocks = [state[pl.ds(base + (g0 + i) * stride, 2 * b + 1), :]
-                      .reshape(1, 2 * b + 1, Wp) for i in range(G)]
-            win = blocks[0] if G == 1 else jnp.concatenate(blocks, axis=0)
+            # Cover IO, two hardware-validated forms (both single-lane-
+            # tile only, Wp=128): 'span' = ONE contiguous (G*stride, Wp)
+            # load/store per group + leading-dim reshape; 'lane' =
+            # per-lane loads of exactly the touched rows 0..2b.
+            if span_io:
+                spn = state[pl.ds(base + g0 * stride, G * stride), :]
+                w3 = spn.reshape(G, stride, Wp)
+                win = w3[:, :2 * b + 1, :]
+            else:
+                blocks = [state[pl.ds(base + (g0 + i) * stride,
+                                      2 * b + 1), :]
+                          .reshape(1, 2 * b + 1, Wp) for i in range(G)]
+                win = blocks[0] if G == 1 else \
+                    jnp.concatenate(blocks, axis=0)
 
             if dbg in (0, 11):
                 new_rows = jnp.concatenate([win[:, :b, :],
@@ -245,9 +251,15 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                     win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype)
 
             if dbg != 11:
-                for i in range(G):
-                    state[pl.ds(base + (g0 + i) * stride, 2 * b), :] = \
-                        new_rows[i]
+                if span_io:
+                    new_span = jnp.concatenate(
+                        [new_rows, w3[:, 2 * b:, :]], axis=1)
+                    state[pl.ds(base + g0 * stride, G * stride), :] = \
+                        new_span.reshape(G * stride, Wp)
+                else:
+                    for i in range(G):
+                        state[pl.ds(base + (g0 + i) * stride,
+                                    2 * b), :] = new_rows[i]
             vt_ref[0, g0:g0 + G, :b] = v
             vt_ref[0, g0:g0 + G, b:] = tau_h
             g0 += G
@@ -314,6 +326,8 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     kern = functools.partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, T=T,
                              nW=nW, pad=pad, tau_max=tau_max,
                              group=group,
+                             span_io=os.environ.get(
+                                 "EK_PALLAS_CHASE_IO", "span") == "span",
                              dbg=int(os.environ.get(
                                  "EK_PALLAS_CHASE_DBG", "2")))
     wout, vt = pl.pallas_call(

@@ -67,15 +67,19 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     lam = None
     tiny_prev = None
 
-    # On TPU the emulated-f64 matmul lowering is truncated (measured
-    # plateau: resid 1.8e-9 while CPU reaches 1.2e-15), so the
-    # residual-forming GEMMs go through the Ozaki bf16-slice path
-    # (ops/ozaki.py) — exact MXU products recombined to ~2^-48.
-    # EK_REFINE_GEMM=ozaki|f64 overrides the auto choice.
+    # GEMM path for the residual-forming products.  Hardware-measured
+    # (TPU v5e, 2026-08-17, evidence/REFINE_r3.md): plain emulated-f64
+    # matmuls under default_matmul_precision('highest') reach 2.1e-15
+    # rel err and the full mixed solve hits resid 9.5e-15 at n=2048 in
+    # 0.45 s warm — the round-2 "1.8e-9 emulated-f64 floor" was the
+    # refinement limit cycle (since fixed by the monotone threshold
+    # below), not the matmul lowering.  The Ozaki bf16-slice path
+    # (ops/ozaki.py, exact MXU products recombined to ~2^-48) remains
+    # available via EK_REFINE_GEMM=ozaki but measured ~25x slower than
+    # the f64 path at n=2048 and is not accuracy-required.
     gemm_mode = os.environ.get("EK_REFINE_GEMM", "auto")
     if gemm_mode == "auto":
-        gemm_mode = ("ozaki" if jax.default_backend() == "tpu"
-                     and dtype == jnp.float64 else "f64")
+        gemm_mode = "f64"
     if gemm_mode == "ozaki":
         from eigenkernel_tpu.ops import ozaki
 

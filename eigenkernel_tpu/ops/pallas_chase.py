@@ -198,7 +198,7 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
 def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                   n: int, b: int, W: int, Wp: int, T: int, nW: int,
                   pad: int, tau_max: int, group: tuple, span_io: bool,
-                  dbg: int = 2):
+                  clamp: int = 0, dbg: int = 2):
     tau = pl.program_id(0)
 
     @pl.when(tau == 0)
@@ -234,10 +234,18 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                 spn = state[pl.ds(base + g0 * stride, G * stride), :]
                 w3 = spn.reshape(G, stride, Wp)
                 win = w3[:, :2 * b + 1, :]
+                offs = None
             else:
-                blocks = [state[pl.ds(base + (g0 + i) * stride,
-                                      2 * b + 1), :]
-                          .reshape(1, 2 * b + 1, Wp) for i in range(G)]
+                # small-state mode (clamp > 0): rows beyond the live
+                # range [pad, pad+n+2b) exist only for DEAD lanes, whose
+                # write-back is an identity, so their offsets clamp to
+                # the state tail (reads-then-identical-writes are
+                # harmless even when clamped lanes overlap live rows)
+                offs = [base + (g0 + i) * stride for i in range(G)]
+                if clamp:
+                    offs = [jnp.minimum(o, clamp) for o in offs]
+                blocks = [state[pl.ds(o, 2 * b + 1), :]
+                          .reshape(1, 2 * b + 1, Wp) for o in offs]
                 win = blocks[0] if G == 1 else \
                     jnp.concatenate(blocks, axis=0)
 
@@ -258,8 +266,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                         new_span.reshape(G * stride, Wp)
                 else:
                     for i in range(G):
-                        state[pl.ds(base + (g0 + i) * stride,
-                                    2 * b), :] = new_rows[i]
+                        state[pl.ds(offs[i], 2 * b), :] = new_rows[i]
             vt_ref[0, g0:g0 + G, :b] = v
             vt_ref[0, g0:g0 + G, b:] = tau_h
             g0 += G
@@ -290,10 +297,29 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     tau_max = 4 * (n - 3) + T
     p0_max = (tau_max - 1) // 4 + 1 + 3 * b
     stride = 4 * b - 1
-    rows_tot = pad + p0_max + nW * stride + 2 * b + 2
+    rows_full = pad + p0_max + nW * stride + 2 * b + 2
+    # Live lanes never touch rows beyond pad+n+2b: a lane's window START
+    # is pad + p (its bulge position) and live requires p < n-1, so rows
+    # past that belong only to DEAD lanes — whose write-back is an
+    # identity.  The small state keeps just the live range and CLAMPS
+    # per-lane offsets into it (span IO can't clamp: a group mixing live
+    # and dead lanes would shift its live windows).
+    rows_small = pad + n + 2 * b + 8
+    isz = band.dtype.itemsize
+    budget = 10 * 2 ** 20
+    small = rows_full * Wp * isz >= budget
+    clamp = 0
+    span_io = os.environ.get("EK_PALLAS_CHASE_IO", "span") == "span"
+    if os.environ.get("EK_PALLAS_CHASE_SMALL"):
+        small = True
+    if small:
+        rows_tot = rows_small
+        clamp = rows_tot - (2 * b + 1)
+        span_io = False
+    else:
+        rows_tot = rows_full
 
-    if ((rows_tot * Wp * band.dtype.itemsize >= 10 * 2 ** 20
-         or Wp > 128) and not interpret):
+    if ((rows_tot * Wp * isz >= budget or Wp > 128) and not interpret):
         # Two hardware-probed limits: (a) dynamic-offset async copies
         # crash the TPU worker (even 8-row-aligned), so an HBM-resident
         # state has no working access path — beyond VMEM capacity use
@@ -325,9 +351,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
 
     kern = functools.partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, T=T,
                              nW=nW, pad=pad, tau_max=tau_max,
-                             group=group,
-                             span_io=os.environ.get(
-                                 "EK_PALLAS_CHASE_IO", "span") == "span",
+                             group=group, span_io=span_io, clamp=clamp,
                              dbg=int(os.environ.get(
                                  "EK_PALLAS_CHASE_DBG", "2")))
     wout, vt = pl.pallas_call(

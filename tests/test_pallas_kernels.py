@@ -135,6 +135,33 @@ def test_pallas_chase_matches_wavefront2():
     assert np.abs(lam_tri - lam_band).max() < 5e-5 * scale
 
 
+def test_pallas_chase_small_state_clamped(monkeypatch):
+    # small-state mode (n=16384-class VMEM fit): live range only, dead
+    # lanes clamp into the state tail with identity write-backs
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    monkeypatch.setenv("EK_PALLAS_CHASE_SMALL", "1")
+    rng = np.random.default_rng(5)
+    n, bw = 192, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    ref = band_to_tridiag_wavefront2(br.band, bw)
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    # same group partition + same arithmetic as the full-state lane-IO
+    # form => identical reflectors; compare directly at f32 drift level
+    assert np.abs(np.asarray(ref.d) - np.asarray(got.d)).max() < 2e-3
+    lam_band = np.linalg.eigvalsh(np.asarray(br.band, np.float64))
+    Tm = (np.diag(np.asarray(got.d, np.float64))
+          + np.diag(np.asarray(got.e, np.float64), 1)
+          + np.diag(np.asarray(got.e, np.float64), -1))
+    lam_tri = np.linalg.eigvalsh(Tm)
+    assert (np.abs(lam_tri - lam_band).max()
+            < 5e-5 * np.abs(lam_band).max())
+
+
 def test_pallas_chase_ragged_lane_groups(monkeypatch):
     # lane-group processing (scoped-VMEM bound): a group size that does
     # not divide nW exercises the ragged last group + group loop

@@ -83,27 +83,31 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     Returns (new_rows (G, 2b, Wp) to store back, v (G, b), tau_h (G, 1)).
     """
     G = win.shape[0]
-    r1 = lax.broadcasted_iota(jnp.int32, (b, 1), 0)      # row index r
-    shearA = b - 1 - r1                                   # shifts 0..b-1
+    rr = lax.broadcasted_iota(jnp.int32, (2 * b, 1), 0)  # merged row idx
+    shear2 = b - 1 - (rr % b)
     # Mosaic layout discipline: lane-dim slices below start at offset 0
     # (odd-offset lane slices are realigned via roll-then-slice) and
     # element extracts are masked reductions — offset-carrying layouts
     # fail tpu.concatenate lowering.
     win_dn = jnp.roll(win, -1, axis=1)                    # rows shifted up 1
-    # doubled rows: drowA[r] = rows (r, r+1), drowB[r] = rows (b+r, b+r+1)
-    # (logical W-wide rows — the flat wrap point must sit at lane W)
-    drowA = jnp.concatenate([win[:, :b, :W], win_dn[:, :b, :W]], axis=2)
-    drowB = jnp.concatenate([win[:, b:2 * b, :W],
-                             win_dn[:, b:2 * b, :W]], axis=2)
-    # v1[r, c] = drowA[r, (b-1-r) + c];  v2full[r, c] = drowB[r, (b-r) + c]
-    v1 = _shear(drowA, shearA, b - 1, -1)[:, :, :2 * b]
-    v2full = _shear(jnp.roll(drowB, -1, axis=-1), shearA, b - 1,
-                    -1)[:, :, :2 * b]
+    # doubled rows: drow[r] = rows (r, r+1) for r < b (the A/v1 half)
+    # and rows (b+r', b+r'+1) for r = b+r' (the B/v2 half) — ONE merged
+    # (G, 2b, 2W) array so the shear network runs once, not twice (the
+    # v2 half's extra -1 lane shift is folded in as a masked pre-roll;
+    # both halves then shear by the same b-1-(r mod b) schedule).
+    # Logical W-wide rows: the flat wrap point must sit at lane W.
+    drow = jnp.concatenate([win[:, :2 * b, :W],
+                            win_dn[:, :2 * b, :W]], axis=2)
+    drow = jnp.where(rr >= b, jnp.roll(drow, -1, axis=-1), drow)
+    sheared = _shear(drow, shear2, b - 1, -1)[:, :, :2 * b]
+    v1 = sheared[:, :b, :]
+    v2full = sheared[:, b:2 * b, :]
     rw_ = lax.broadcasted_iota(jnp.int32, (b, Wp), 0)
     cw_ = lax.broadcasted_iota(jnp.int32, (b, Wp), 1)
-    corner = jnp.sum(jnp.sum(                             # A[p+b-1, p+b-1]
-        win[:, :b, :] * ((rw_ == b - 1) & (cw_ == 2 * b)).astype(dtype),
-        axis=2), axis=1, keepdims=True)                  # (G, 1)
+    cw1 = lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
+    corner = jnp.sum(                                     # A[p+b-1, p+b-1]
+        win[:, b - 1:b, :] * (cw1 == 2 * b).astype(dtype),
+        axis=2)                                           # (G, 1)
     v2 = v2full[:, :, :b]                                 # A[p+b+r, p+s]
 
     r_ = lax.broadcasted_iota(jnp.int32, (b, b), 0)
@@ -160,12 +164,15 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     new_v2 = jnp.concatenate([v2n, v2hi], axis=2)
 
     # ---- inverse shear write-back into the window rows 0..2b-1 ----
+    # (merged A/B halves, one shear network — see the extract above)
     Bw = max(2 * W, Wp)        # >= Wp for the FH slice, >= W+b for wrap
-    zpad = jnp.zeros((G, b, Bw - 2 * b), dtype)
-    backA = _shear(jnp.concatenate([new_v1, zpad], axis=2),
-                   shearA, b - 1, +1)
-    backB = jnp.roll(_shear(jnp.concatenate([new_v2, zpad], axis=2),
-                            shearA, b - 1, +1), 1, axis=-1)
+    zpad = jnp.zeros((G, 2 * b, Bw - 2 * b), dtype)
+    new12 = jnp.concatenate([new_v1, new_v2], axis=1)     # (G, 2b, 2b)
+    back = _shear(jnp.concatenate([new12, zpad], axis=2),
+                  shear2, b - 1, +1)
+    back = jnp.where(rr >= b, jnp.roll(back, 1, axis=-1), back)
+    backA = back[:, :b, :]
+    backB = back[:, b:2 * b, :]
     q_ = lax.broadcasted_iota(jnp.int32, (b, Wp), 1)
     rq = lax.broadcasted_iota(jnp.int32, (b, Wp), 0)
     # rows 0..b-1: first halves FH_A (cols b-1-r .. 3b-2-r, capped at W-1)

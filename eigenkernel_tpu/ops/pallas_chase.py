@@ -205,10 +205,10 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
 def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                   n: int, b: int, W: int, Wp: int, T: int, nW: int,
                   pad: int, tau_max: int, group: tuple, span_io: bool,
-                  clamp: int = 0, dbg: int = 2):
-    tau = pl.program_id(0)
+                  fuse: int, clamp: int = 0, dbg: int = 2):
+    pid = pl.program_id(0)
 
-    @pl.when(tau == 0)
+    @pl.when(pid == 0)
     def _load():
         cp = pltpu.make_async_copy(wf_ref, state, sem)
         cp.start()
@@ -217,11 +217,17 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
     dtype = state.dtype
     stride = 4 * b - 1
 
-    base = pad + tau // 4 + 1 + (tau % 4) * b            # p0 row offset
+    # `fuse` consecutive taus per grid step amortize the ~6 us/step grid
+    # overhead; taus past tau_max have ALL lanes dead (t<=T-1 and c>=0
+    # are then disjoint), and dead-lane write-backs are identities, so
+    # the padded tail needs no guard.
+    for dt in range(fuse):
+        tau = pid * fuse + dt
+        base = pad + tau // 4 + 1 + (tau % 4) * b        # p0 row offset
 
-    if dbg == 10:                      # no dynamic access (bisection)
-        vt_ref[0, :, :] = jnp.zeros((nW, b + 1), dtype)
-    else:
+        if dbg == 10:                  # no dynamic access (bisection)
+            vt_ref[0, dt, :, :] = jnp.zeros((nW, b + 1), dtype)
+            continue
         # lane groups: bounded scoped-VMEM live set per group
         g0 = 0
         for G in group:
@@ -236,7 +242,9 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             # Cover IO, two hardware-validated forms (both single-lane-
             # tile only, Wp=128): 'span' = ONE contiguous (G*stride, Wp)
             # load/store per group + leading-dim reshape; 'lane' =
-            # per-lane loads of exactly the touched rows 0..2b.
+            # per-lane loads of exactly the touched rows 0..2b
+            # (default: measured 30.3 vs 46.9 us/step at 4096/32 — the
+            # span form moves the 2b-2 pass-through rows too).
             if span_io:
                 spn = state[pl.ds(base + g0 * stride, G * stride), :]
                 w3 = spn.reshape(G, stride, Wp)
@@ -274,11 +282,11 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                 else:
                     for i in range(G):
                         state[pl.ds(offs[i], 2 * b), :] = new_rows[i]
-            vt_ref[0, g0:g0 + G, :b] = v
-            vt_ref[0, g0:g0 + G, b:] = tau_h
+            vt_ref[0, dt, g0:g0 + G, :b] = v
+            vt_ref[0, dt, g0:g0 + G, b:] = tau_h
             g0 += G
 
-    @pl.when(tau == tau_max - 1)
+    @pl.when(pid == pl.num_programs(0) - 1)
     def _store():
         cp = pltpu.make_async_copy(state, wfout_ref, sem)
         cp.start()
@@ -314,11 +322,14 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     rows_small = pad + n + 2 * b + 8
     isz = band.dtype.itemsize
     budget = 10 * 2 ** 20
-    small = rows_full * Wp * isz >= budget
     clamp = 0
-    span_io = os.environ.get("EK_PALLAS_CHASE_IO", "span") == "span"
-    if os.environ.get("EK_PALLAS_CHASE_SMALL"):
-        small = True
+    # lane IO + small state is the default (measured fastest: 30.3 vs
+    # 46.9 us/step at 4096/32, and half the VMEM -> more scoped
+    # headroom).  EK_PALLAS_CHASE_IO=span selects the full-state span
+    # form (clamping can't mix with span: a group mixing live and dead
+    # lanes would shift its live windows).
+    span_io = os.environ.get("EK_PALLAS_CHASE_IO", "lane") == "span"
+    small = not span_io or os.environ.get("EK_PALLAS_CHASE_SMALL")
     if small:
         rows_tot = rows_small
         clamp = rows_tot - (2 * b + 1)
@@ -345,7 +356,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # bug (replicated-singleton, hardware-probed).  EK_PALLAS_CHASE_GROUP
     # overrides the target size.
     gtarget = int(os.environ.get("EK_PALLAS_CHASE_GROUP", "0")) or \
-        max(2, min(nW, (3 * 2 ** 20) // (10240 * b)))
+        max(2, min(nW, (6 * 2 ** 20) // (10240 * b)))
     ngroups = max(1, -(-nW // gtarget))
     if ngroups > 1 and nW // ngroups < 2:
         ngroups = max(1, nW // 2)
@@ -356,23 +367,26 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     w = lax.dynamic_update_slice(w, _banded_state(band, b, None, W=W),
                                  (pad, 0))
 
+    fuse = int(os.environ.get("EK_PALLAS_CHASE_FUSE", "4"))
+    n_steps = -(-tau_max // fuse)
     kern = functools.partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, T=T,
                              nW=nW, pad=pad, tau_max=tau_max,
-                             group=group, span_io=span_io, clamp=clamp,
+                             group=group, span_io=span_io, fuse=fuse,
+                             clamp=clamp,
                              dbg=int(os.environ.get(
                                  "EK_PALLAS_CHASE_DBG", "2")))
     wout, vt = pl.pallas_call(
         kern,
-        grid=(tau_max,),
+        grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, nW, b + 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, fuse, nW, b + 1), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((rows_tot, Wp), dtype),
-            jax.ShapeDtypeStruct((tau_max, nW, b + 1), dtype),
+            jax.ShapeDtypeStruct((n_steps, fuse, nW, b + 1), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows_tot, Wp), dtype),
@@ -382,6 +396,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(w)
+    vt = vt.reshape(n_steps * fuse, nW, b + 1)[:tau_max]
 
     d = wout[pad:pad + n, 2 * b]
     e = wout[pad + 1:pad + n, 2 * b - 1]

@@ -136,10 +136,17 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         # Pairs with gap below ~sqrt(eps) stay frozen permanently: their
         # in-cluster rotation is noise-limited and re-rotating each step
         # degrades orthonormality (the symmetric F/2 part still applies).
+        # CONTRACTION-AWARE form (round-3): the defect d feeds back into
+        # the rotation correction as ~(F lam / gap), so a pair only
+        # contracts when gap/scale > sqrt(d) — a linear-in-d threshold
+        # left marginal pairs in a self-sustaining cycle pinned at orth
+        # ~5e-7 at n=4096 (measured stepwise on v5e, evidence/REFINE_r3)
+        # while n=2048 happened to have no pairs in the critical band.
+        # Frozen pairs are rescued by the adjacent-Jacobi cleanup below.
         err_est = jnp.max(jnp.abs(f))
         eps = jnp.finfo(dtype).eps
         floor = 100.0 * jnp.sqrt(eps)
-        tiny = scale * jnp.maximum(gap_factor * err_est, floor)
+        tiny = scale * jnp.maximum(jnp.sqrt(gap_factor * err_est), floor)
         # MONOTONE threshold: a step's big rotations spike the
         # orthonormality defect, which would re-freeze the marginal-gap
         # pairs just corrected and lock the iteration into a limit cycle

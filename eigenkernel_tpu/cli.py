@@ -96,7 +96,8 @@ def main(argv=None) -> int:
     from eigenkernel_tpu.io import outputs
     from eigenkernel_tpu.parallel import mesh as meshlib
     from eigenkernel_tpu.solvers.api import solve
-    from eigenkernel_tpu.solvers.registry import get_spec
+    from eigenkernel_tpu.solvers.registry import (AUTO_NAMES, get_spec,
+                                                  resolve_auto)
     from eigenkernel_tpu.verify import (
         eval_orthogonality, eval_residual_norm, get_ipratios)
 
@@ -134,6 +135,22 @@ def main(argv=None) -> int:
         print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
               f"processes: {jax.process_count()}")
     log.add_event("main:read_command_argument", time.time() - t0)
+
+    if arg.solver_type in AUTO_NAMES:
+        # '-s auto' — resolve to the measured-best concrete pipeline before
+        # validation so the rest of the run (log.json, report) names it.
+        dim = arg.matrix_A_info.rows
+        try:
+            arg.solver_type = resolve_auto(
+                arg.solver_type, dim,
+                generalized=arg.is_generalized_problem,
+                selecting=arg.n_vec != dim, on_mesh=n_dev > 1,
+                backend=jax.default_backend())
+        except Exception as exc:
+            print(f"[Error] {exc}", file=sys.stderr)
+            return 1
+        if master:
+            print(f"auto solver resolved: {arg.solver_type}")
 
     try:
         validate_args(arg)

@@ -29,7 +29,8 @@ from eigenkernel_tpu.core.types import EigenPairs
 from eigenkernel_tpu.obs.events import EventLog
 from eigenkernel_tpu.parallel import mesh as meshlib
 from eigenkernel_tpu.solvers import pipelines as pl
-from eigenkernel_tpu.solvers.registry import get_spec
+from eigenkernel_tpu.solvers.registry import (AUTO_NAMES, get_spec,
+                                              resolve_auto)
 
 
 @partial(jax.jit, static_argnames=("n_real", "n_pad", "eye", "sharding",
@@ -94,6 +95,12 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     eigenvalues ascending and eigenvectors in columns; for generalized
     problems the vectors are B-orthonormal (dsygv convention).
     """
+    if solver in AUTO_NAMES:
+        _n = int(n_logical if n_logical is not None else a.shape[0])
+        solver = resolve_auto(solver, _n, generalized=b is not None,
+                              selecting=n_vec is not None and n_vec != _n,
+                              on_mesh=mesh is not None,
+                              backend=jax.default_backend())
     spec = get_spec(solver)
     if spec.generalized != (b is not None):
         kind = "generalized" if b is not None else "standard"

@@ -108,6 +108,45 @@ SOLVERS: dict[str, SolverSpec] = {s.name: s for s in [
 ]}
 
 
+AUTO_NAMES = ("auto", "general_auto")
+
+
+def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
+                 on_mesh: bool, backend: str) -> str:
+    """Resolve ``-s auto`` to a concrete registry name.
+
+    The reference's whole point is comparing solver combinations to "find
+    the best one" (README.md:4-5) — ``auto`` encodes the winners of the
+    committed TPU sweeps (evidence/SWEEP_r3*).  Heuristics:
+
+    * selecting: the pdsyevx-analog path (which itself picks the two-stage
+      core on TPU at n >= 2048, solvers/api.py);
+    * single-chip TPU, small n: XLA's fused QDWH ``eigh`` wins while the
+      staged pipeline is latency-bound (measured 0.06 s vs 0.47+ s at
+      n = 1024); crossover knob EK_AUTO_EIGH_MAX (default 1024);
+    * everything else: the one-stage pipeline (tridiagonalization runs at
+      78-90 % of the HBM roofline; measured 0.25 s vs eigh's 0.58 s at
+      n = 4096), with the ELPA-style reduction for generalized problems
+      (GEMM-rich inverse application beats the trsm chain on the MXU).
+    """
+    import os
+
+    if name not in AUTO_NAMES:
+        return name
+    if generalized != name.startswith("general"):
+        kind = "generalized" if generalized else "standard"
+        raise UnknownSolverError(f"solver '{name}' is not for {kind} "
+                                 f"problems (use "
+                                 f"'{AUTO_NAMES[int(generalized)]}')")
+    if selecting:
+        return ("general_scalapack_select" if generalized
+                else "scalapack_select")
+    eigh_max = int(os.environ.get("EK_AUTO_EIGH_MAX", "1024"))
+    if backend == "tpu" and not on_mesh and n <= eigh_max:
+        return "general_eigh" if generalized else "eigh"
+    return "general_elpa_scalapack" if generalized else "scalapack"
+
+
 class UnknownSolverError(ValueError):
     pass
 

@@ -135,3 +135,37 @@ def test_select_two_stage_core(problem, monkeypatch):
     assert np.abs(V.T @ V - np.eye(10)).max() < 1e-10
     pg = solve(A, B, solver="general_scalapack_select", n_vec=10)
     assert np.abs(np.array(pg.values) - wgen[:10]).max() < 1e-10
+
+
+def test_auto_solver_resolution(problem, monkeypatch):
+    # '-s auto' resolves to the measured-best concrete pipeline
+    from eigenkernel_tpu.solvers.registry import resolve_auto
+
+    # selecting always routes to the pdsyevx-analog path
+    assert resolve_auto("auto", 8192, False, True, False, "tpu") == \
+        "scalapack_select"
+    assert resolve_auto("general_auto", 8192, True, True, False, "tpu") == \
+        "general_scalapack_select"
+    # single-chip TPU small n: XLA eigh; large n: staged one-stage
+    assert resolve_auto("auto", 1024, False, False, False, "tpu") == "eigh"
+    assert resolve_auto("auto", 4096, False, False, False, "tpu") == \
+        "scalapack"
+    assert resolve_auto("general_auto", 4096, True, False, False, "tpu") == \
+        "general_elpa_scalapack"
+    # on a mesh the fused single-device eigh is not applicable
+    assert resolve_auto("auto", 512, False, False, True, "tpu") == \
+        "scalapack"
+    # crossover knob
+    monkeypatch.setenv("EK_AUTO_EIGH_MAX", "4096")
+    assert resolve_auto("auto", 4096, False, False, False, "tpu") == "eigh"
+    # kind mismatch raises the registry error
+    with pytest.raises(UnknownSolverError):
+        resolve_auto("auto", 512, True, False, False, "cpu")
+
+
+def test_auto_solver_solve(problem):
+    A, B, wstd, wgen = problem
+    p = solve(A, solver="auto")
+    assert np.abs(np.array(p.values) - wstd).max() < 1e-10
+    pg = solve(A, B, solver="general_auto", n_vec=10)
+    assert np.abs(np.array(pg.values) - wgen[:10]).max() < 1e-10

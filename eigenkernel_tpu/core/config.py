@@ -86,6 +86,9 @@ Solver types are:
   general_scalapacknew_eigens (generalized)
   eigh (standard, TPU-native extra: XLA QDWH eigensolver)
   general_eigh (generalized, TPU-native extra)
+  jacobi / general_jacobi (TPU-native extra: block-Jacobi)
+  qdwh_dc / general_qdwh_dc (TPU-native extra: QDWH spectral D&C)
+  auto / general_auto (pick the measured-best pipeline for the problem)
 Options are:
   -n <num>  (available with selecting solvers) Compute only <num> eigenpairs
             in ascending order of their eigenvalues

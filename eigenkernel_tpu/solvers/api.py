@@ -211,6 +211,11 @@ def fused_solver(solver: str, n: int, n_vec: Optional[int] = None,
     end-to-end.  ``n`` must already be divisible by the panel block and the
     mesh axes (no padding happens here).
     """
+    if solver in AUTO_NAMES:
+        solver = resolve_auto(solver, n, generalized=solver.startswith("g"),
+                              selecting=n_vec is not None and n_vec != n,
+                              on_mesh=mesh is not None,
+                              backend=jax.default_backend())
     spec = get_spec(solver)
     if spec.core == "qdwh":
         raise ValueError(

@@ -157,3 +157,22 @@ def test_profile_flag(tmp_path):
     rc = run_cli(tmp_path, ["-s", "lapack", "--profile", "prof", A30])
     assert rc == 0
     assert any((tmp_path / "prof").rglob("*.xplane.pb"))
+
+
+def test_auto_solver_cli(tmp_path, capsys):
+    rc = run_cli(tmp_path, ["-s", "general_auto", "-c", "-1", A30, B30])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auto solver resolved:" in out
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")
+    ref = np.loadtxt(f"{MAT}/ELSES_MATRIX_BNZ30_ev.txt")
+    assert np.abs(ev[:, 1] - ref[:, 1]).max() < 1e-12
+    # log.json names the resolved concrete solver, not 'auto'
+    log = json.loads((tmp_path / "log.json").read_text())
+    assert log["setting"]["solver"] in (
+        "general_scalapack", "general_elpa_scalapack", "general_eigh")
+
+
+def test_auto_solver_kind_mismatch_cli(tmp_path):
+    rc = run_cli(tmp_path, ["-s", "auto", A30, B30])
+    assert rc == 1

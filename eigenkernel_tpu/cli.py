@@ -147,7 +147,8 @@ def main(argv=None) -> int:
                 selecting=arg.n_vec != dim, on_mesh=n_dev > 1,
                 backend=jax.default_backend())
         except Exception as exc:
-            print(f"[Error] {exc}", file=sys.stderr)
+            if master:
+                print(f"[Error] {exc}", file=sys.stderr)
             return 1
         if master:
             print(f"auto solver resolved: {arg.solver_type}")

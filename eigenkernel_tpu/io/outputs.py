@@ -70,6 +70,7 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
     under multi-process each vector is written by exactly one process
     (round-robin ownership), all processes writing in parallel.
     """
+    os.makedirs(out_dir, exist_ok=True)
     import jax
 
     nproc = jax.process_count()
@@ -95,7 +96,7 @@ def print_eigenvectors(eigenpairs: EigenPairs, out_dir: str,
             path = os.path.join(out_dir, f"{j:08d}.dat")
             if binary:
                 payload = col.astype("<f8").tobytes()
-                marker = np.int32(len(payload)).tobytes()
+                marker = np.int32(len(payload)).astype("<i4").tobytes()
                 with open(path, "wb") as f:
                     f.write(marker + payload + marker)
             else:

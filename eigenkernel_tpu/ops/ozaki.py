@@ -133,6 +133,11 @@ def ozaki_matmul(a, b, q: int | None = None, beta: int = DEFAULT_BETA,
         q = _env_q()
     op_a = a if isinstance(a, OzakiOperand) else split_slices(a, 1, q, beta)
     op_b = b if isinstance(b, OzakiOperand) else split_slices(b, 0, q, beta)
+    if op_a.beta != op_b.beta:
+        raise ValueError(
+            f"ozaki_matmul: operand slice widths differ "
+            f"(beta {op_a.beta} vs {op_b.beta}) — the exact-accumulation "
+            f"chunk bound 2^(22-2*beta) assumes one beta for both")
     beta = op_a.beta
     qa, qb = len(op_a.slices), len(op_b.slices)
     if max_diag is not None:

@@ -329,7 +329,8 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # form (clamping can't mix with span: a group mixing live and dead
     # lanes would shift its live windows).
     span_io = os.environ.get("EK_PALLAS_CHASE_IO", "lane") == "span"
-    small = not span_io or os.environ.get("EK_PALLAS_CHASE_SMALL")
+    small = not span_io or \
+        os.environ.get("EK_PALLAS_CHASE_SMALL", "0") not in ("", "0")
     if small:
         rows_tot = rows_small
         clamp = rows_tot - (2 * b + 1)

@@ -92,13 +92,15 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         sched = [int(x) for x in os.environ.get(
             "EK_REFINE_OZAKI_SCHED", "6,9,11").split(",")]
 
-        def _residual_mats(v, md=None):
+        def _residual_mats(v, md=None, s_only=False):
             op_v = ozaki.split_slices(v, 0, q=md)
             op_vt = ozaki.transpose_operand(op_v)
             av = _wsc(ozaki.ozaki_matmul(op_a, op_v, out_dtype=dtype,
                                          max_diag=md), mesh)
             s = _wsc(ozaki.ozaki_matmul(op_vt, ozaki.split_slices(av, 0, q=md),
                                         out_dtype=dtype, max_diag=md), mesh)
+            if s_only:
+                return av, v, s, None
             if op_b is None:
                 r = _wsc(ozaki.ozaki_matmul(
                     op_vt, op_v, out_dtype=dtype, max_diag=md), mesh)
@@ -113,10 +115,12 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
             return av, bv, s, r
     else:
 
-        def _residual_mats(v, md=None):
+        def _residual_mats(v, md=None, s_only=False):
             av = _wsc(a @ v, mesh)
-            bv = _wsc(b @ v, mesh) if b is not None else v
             s = _wsc(v.T @ av, mesh)
+            if s_only:
+                return av, v, s, None
+            bv = _wsc(b @ v, mesh) if b is not None else v
             r = _wsc(v.T @ bv, mesh)
             return av, bv, s, r
 
@@ -172,7 +176,7 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     # are adjacent in the sorted spectrum, a few batched adjacent-pair
     # Jacobi passes on the projected matrix S = V^T A V diagonalize every
     # cluster exactly — O(k^2) per pass plus ONE V @ J GEMM.
-    av, bv, s, r = _residual_mats(v)
+    _, _, s, _ = _residual_mats(v, s_only=True)  # bv/r unused here
     s, j_rot = _adjacent_jacobi(s, passes=6)
     if gemm_mode == "ozaki":
         # j_rot can carry O(1) in-cluster rotations whose application

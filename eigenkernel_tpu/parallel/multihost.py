@@ -7,10 +7,11 @@ pattern.  On TPU pods the equivalents are:
 * ``init_distributed`` — ``jax.distributed.initialize()``: one Python
   process per host, all chips of the slice visible as ``jax.devices()``;
   intra-slice communication rides ICI, host coordination DCN.
-* ``broadcast_from_host0`` — process 0 reads the MatrixMarket file and
-  broadcasts the dense array to every process
-  (``multihost_utils.broadcast_one_to_all``), after which ``device_put``
-  with a global 2D sharding places each shard on its owner chip.
+* ``bcast_coo`` — process 0 reads the MatrixMarket file and broadcasts
+  the O(nnz) COO triplets (``multihost_utils.broadcast_one_to_all``);
+  each process then densifies only its own device shards
+  (``parallel.mesh.distribute_coo``) — no process ever holds the full
+  dense matrix.
 * ``is_master`` — ``check_master`` analog (processes.f90:110-119).
 
 Single-process runs (this repo's CI and the one-chip bench) short-circuit:
@@ -127,20 +128,3 @@ def bcast_coo(sp, size: int, entries: int):
     pack = np.asarray(multihost_utils.broadcast_one_to_all(pack))
     return SparseMatrix(size=size, rows=pack[0].astype(np.int64),
                         cols=pack[1].astype(np.int64), values=pack[2])
-
-
-def broadcast_from_host0(x: Optional[np.ndarray], shape, dtype) -> np.ndarray:
-    """Replicate host data from process 0 to all processes
-    (bcast_sparse_matrix analog; DCN traffic, once per input).
-
-    ``x`` may be None on non-zero processes.
-    """
-    if jax.process_count() == 1:
-        assert x is not None
-        return np.asarray(x)
-    from jax.experimental import multihost_utils
-
-    if x is None:
-        x = np.zeros(shape, dtype)
-    return np.asarray(multihost_utils.broadcast_one_to_all(
-        np.asarray(x, dtype=dtype)))

@@ -14,11 +14,13 @@ Usage: python scripts/mesh_balance.py [n] (default 2048); writes a
 markdown table to stdout (redirect into evidence/).
 """
 
+import os
 import re
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import jax
 

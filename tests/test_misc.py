@@ -18,9 +18,13 @@ def test_multihost_single_process():
 
     mh.init_distributed()            # no-op single process
     assert mh.is_master()
-    x = np.arange(6.0).reshape(2, 3)
-    out = mh.broadcast_from_host0(x, x.shape, x.dtype)
-    assert np.array_equal(out, x)
+    from eigenkernel_tpu.core.types import SparseMatrix
+
+    sp = SparseMatrix(size=3, rows=np.array([0, 1, 2]),
+                      cols=np.array([0, 1, 2]),
+                      values=np.array([1.0, 2.0, 3.0]))
+    out = mh.bcast_coo(sp, 3, 3)
+    assert np.array_equal(out.values, sp.values)
 
 
 def test_event_log_accumulation(capsys):

@@ -76,3 +76,16 @@ def test_refine_with_forced_ozaki_gemms(monkeypatch):
     orth = np.max(np.abs(v.T @ v - np.eye(n)))
     assert resid < 1e-12, resid
     assert orth < 1e-12, orth
+
+
+def test_ozaki_mixed_beta_rejected():
+    import jax.numpy as jnp
+    import pytest
+
+    from eigenkernel_tpu.ops import ozaki
+
+    a = jnp.ones((8, 8), jnp.float64)
+    oa = ozaki.split_slices(a, 1, q=4, beta=3)
+    ob = ozaki.split_slices(a, 0, q=4, beta=5)
+    with pytest.raises(ValueError, match="slice widths differ"):
+        ozaki.ozaki_matmul(oa, ob)

@@ -205,7 +205,8 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
 def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                   n: int, b: int, W: int, Wp: int, T: int, nW: int,
                   pad: int, tau_max: int, group: tuple, span_io: bool,
-                  fuse: int, clamp: int = 0, dbg: int = 2):
+                  fuse: int, clamp: int = 0, dbg: int = 2,
+                  align_c: int = 0):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -245,7 +246,33 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             # per-lane loads of exactly the touched rows 0..2b
             # (default: measured 30.3 vs 46.9 us/step at 4096/32 — the
             # span form moves the 2b-2 pass-through rows too).
-            if span_io:
+            if align_c:
+                # tile-ALIGNED cover IO: the state is (tiles, 8, Wp), so
+                # every dynamic slice starts on an (8, 128) tile boundary
+                # by construction (the plain 2-D form's offsets slide by
+                # +1 per step through every sublane residue, which the
+                # lane/span timings suggest lowers to row-granular
+                # copies).  The 0..7 residual offset is applied in-vreg
+                # with masked static sublane rolls (same trick as the
+                # _shear lane network).  Write-back rows outside the
+                # window are either this lane's own pass-through rows or
+                # structurally-zero padding (see clamp note above) — the
+                # roll-inverse makes their re-store an exact identity.
+                C8 = align_c * 8
+                off_v = jnp.minimum(base + jarr * stride, clamp)
+                r_arr = (off_v % 8)[:, :, None]          # (G, 1, 1)
+                offs = [jnp.minimum(base + (g0 + i) * stride, clamp)
+                        for i in range(G)]
+                t0s = [o // 8 for o in offs]
+                covs = [state[pl.ds(t0s[i], align_c)]
+                        .reshape(1, C8, Wp) for i in range(G)]
+                cov = covs[0] if G == 1 else jnp.concatenate(covs, axis=0)
+                rot = cov
+                for amt in (1, 2, 4):
+                    take = (r_arr & amt) != 0
+                    rot = jnp.where(take, jnp.roll(rot, -amt, axis=1), rot)
+                win = rot[:, :2 * b + 1, :]
+            elif span_io:
                 spn = state[pl.ds(base + g0 * stride, G * stride), :]
                 w3 = spn.reshape(G, stride, Wp)
                 win = w3[:, :2 * b + 1, :]
@@ -274,7 +301,19 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                     win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype)
 
             if dbg != 11:
-                if span_io:
+                if align_c:
+                    C8 = align_c * 8
+                    frame = jnp.concatenate(
+                        [new_rows, rot[:, 2 * b:, :]], axis=1)
+                    for amt in (1, 2, 4):
+                        take = (r_arr & amt) != 0
+                        frame = jnp.where(take,
+                                          jnp.roll(frame, amt, axis=1),
+                                          frame)
+                    for i in range(G):
+                        state[pl.ds(t0s[i], align_c)] = \
+                            frame[i].reshape(align_c, 8, Wp)
+                elif span_io:
                     new_span = jnp.concatenate(
                         [new_rows, w3[:, 2 * b:, :]], axis=1)
                     state[pl.ds(base + g0 * stride, G * stride), :] = \
@@ -331,7 +370,19 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     span_io = os.environ.get("EK_PALLAS_CHASE_IO", "lane") == "span"
     small = not span_io or \
         os.environ.get("EK_PALLAS_CHASE_SMALL", "0") not in ("", "0")
-    if small:
+    # tile-aligned cover IO (EK_PALLAS_CHASE_ALIGN): state stored as
+    # (tiles, 8, Wp) so every dynamic slice is (8,128)-tile-aligned by
+    # construction; implies lane IO + small state.  The clamp target
+    # must start at or past pad+n so clamped dead-lane covers touch only
+    # the structurally-zero padding rows (kept bit-zero by the exact-
+    # zero reflector components), making their stale re-store harmless.
+    align_c = 0
+    if os.environ.get("EK_PALLAS_CHASE_ALIGN", "0") not in ("", "0"):
+        align_c = -(-(2 * b + 8) // 8)
+        rows_tot = -(-(pad + n + 8 * align_c) // 8) * 8
+        clamp = rows_tot - 8 * align_c
+        span_io = False
+    elif small:
         rows_tot = rows_small
         clamp = rows_tot - (2 * b + 1)
         span_io = False
@@ -373,9 +424,11 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     kern = functools.partial(_chase_kernel, n=n, b=b, W=W, Wp=Wp, T=T,
                              nW=nW, pad=pad, tau_max=tau_max,
                              group=group, span_io=span_io, fuse=fuse,
-                             clamp=clamp,
+                             clamp=clamp, align_c=align_c,
                              dbg=int(os.environ.get(
                                  "EK_PALLAS_CHASE_DBG", "2")))
+    state_shape = (rows_tot // 8, 8, Wp) if align_c else (rows_tot, Wp)
+    w_in = w.reshape(state_shape)
     wout, vt = pl.pallas_call(
         kern,
         grid=(n_steps,),
@@ -386,17 +439,18 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows_tot, Wp), dtype),
+            jax.ShapeDtypeStruct(state_shape, dtype),
             jax.ShapeDtypeStruct((n_steps, fuse, nW, b + 1), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((rows_tot, Wp), dtype),
+            pltpu.VMEM(state_shape, dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(w)
+    )(w_in)
+    wout = wout.reshape(rows_tot, Wp)
     vt = vt.reshape(n_steps * fuse, nW, b + 1)[:tau_max]
 
     d = wout[pad:pad + n, 2 * b]

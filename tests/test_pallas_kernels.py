@@ -182,3 +182,25 @@ def test_pallas_chase_ragged_lane_groups(monkeypatch):
     lam_tri = np.linalg.eigvalsh(Tm)
     scale = np.abs(lam_band).max()
     assert np.abs(lam_tri - lam_band).max() < 5e-5 * scale
+
+
+def test_pallas_chase_aligned_covers_bitexact(monkeypatch):
+    # tile-aligned cover IO (EK_PALLAS_CHASE_ALIGN): state as
+    # (tiles, 8, Wp), residual 0..7 offset applied via masked sublane
+    # rolls — must be BIT-identical to the default lane IO (same
+    # per-lane arithmetic, only the IO framing differs)
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    rng = np.random.default_rng(3)
+    n, bw = 256, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    ref = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    monkeypatch.setenv("EK_PALLAS_CHASE_ALIGN", "1")
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    assert np.array_equal(np.asarray(ref.d), np.asarray(got.d))
+    assert np.array_equal(np.asarray(ref.e), np.asarray(got.e))
+    assert np.array_equal(np.asarray(ref.HV), np.asarray(got.HV))
+    assert np.array_equal(np.asarray(ref.HT), np.asarray(got.HT))

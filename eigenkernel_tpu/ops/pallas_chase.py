@@ -360,7 +360,12 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # and dead lanes would shift its live windows).
     rows_small = pad + n + 2 * b + 8
     isz = band.dtype.itemsize
-    budget = 10 * 2 ** 20
+    # VMEM budget for the persistent state scratch (hardware-validated
+    # to n=16384 at bw=32, ~8.5 MB; the scoped-compute live set is
+    # bounded separately by the lane-group target).  EK_PALLAS_CHASE_VMEM
+    # (MB) raises it for larger n — a too-big value fails at COMPILE
+    # time (safe), not at run time.
+    budget = int(os.environ.get("EK_PALLAS_CHASE_VMEM", "10")) * 2 ** 20
     clamp = 0
     # lane IO + small state is the default (measured fastest: 30.3 vs
     # 46.9 us/step at 4096/32, and half the VMEM -> more scoped

@@ -264,7 +264,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                 offs = [jnp.minimum(base + (g0 + i) * stride, clamp)
                         for i in range(G)]
                 t0s = [o // 8 for o in offs]
-                covs = [state[pl.ds(t0s[i], align_c)]
+                covs = [state[pl.ds(t0s[i], align_c), :, :]
                         .reshape(1, C8, Wp) for i in range(G)]
                 cov = covs[0] if G == 1 else jnp.concatenate(covs, axis=0)
                 rot = cov
@@ -311,7 +311,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                                           jnp.roll(frame, amt, axis=1),
                                           frame)
                     for i in range(G):
-                        state[pl.ds(t0s[i], align_c)] = \
+                        state[pl.ds(t0s[i], align_c), :, :] = \
                             frame[i].reshape(align_c, 8, Wp)
                 elif span_io:
                     new_span = jnp.concatenate(

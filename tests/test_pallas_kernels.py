@@ -204,3 +204,23 @@ def test_pallas_chase_aligned_covers_bitexact(monkeypatch):
     assert np.array_equal(np.asarray(ref.e), np.asarray(got.e))
     assert np.array_equal(np.asarray(ref.HV), np.asarray(got.HV))
     assert np.array_equal(np.asarray(ref.HT), np.asarray(got.HT))
+
+
+def test_pallas_chase_vmem_budget_fallback(monkeypatch):
+    # EK_PALLAS_CHASE_VMEM=0 forces the beyond-VMEM dispatcher path:
+    # the call must route to the XLA wavefront2 (no pallas_call) and
+    # still be correct
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    rng = np.random.default_rng(5)
+    n, bw = 128, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    monkeypatch.setenv("EK_PALLAS_CHASE_VMEM", "0")
+    got = band_to_tridiag_pallas(br.band, bw, interpret=False)
+    ref = band_to_tridiag_wavefront2(br.band, bw)
+    assert np.array_equal(np.asarray(ref.d), np.asarray(got.d))
+    assert np.array_equal(np.asarray(ref.e), np.asarray(got.e))

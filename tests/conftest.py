@@ -18,6 +18,14 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite is dominated by XLA CPU compiles
+# (~34 min cold on a 1-core box); warm reruns skip them.  Kept separate
+# from the TPU cache (.jax_cache) and disable-able via EK_TEST_NO_CACHE.
+if not os.environ.get("EK_TEST_NO_CACHE"):
+    _cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache_tests")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -1,0 +1,47 @@
+# A/B lane-group size x IO mode for the pallas chase (per-group fixed
+# cost ~14us dominates; bigger G should amortize it if scoped VMEM fits)
+import os, time, json, sys
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+n = int(os.environ.get("N", "4096")); bw = int(os.environ.get("BW", "32"))
+rng = np.random.default_rng(0)
+band = np.zeros((n, n), np.float32)
+for d in range(bw + 1):
+    v = rng.standard_normal(n - d).astype(np.float32)
+    band[np.arange(n - d) + d, np.arange(n - d)] = v
+band = band + band.T - np.diag(np.diag(band))
+band_dev = jnp.asarray(band)
+ref_de = None
+
+for gsz in os.environ.get("GSIZES", "0,26,34").split(","):
+    for io in os.environ.get("IOS", "lane,span,align").split(","):
+        os.environ["EK_PALLAS_CHASE_GROUP"] = gsz
+        os.environ["EK_PALLAS_CHASE_IO"] = "lane" if io == "align" else io
+        os.environ["EK_PALLAS_CHASE_ALIGN"] = "1" if io == "align" else "0"
+        f = jax.jit(lambda x: band_to_tridiag_pallas(x, bw))
+        try:
+            r = f(band_dev)
+            float(jnp.sum(r.d))
+            t0 = time.time()
+            r = f(band_dev)
+            s = float(jnp.sum(r.d) + jnp.sum(jnp.abs(r.e)))
+            dt = time.time() - t0
+            de = (np.asarray(jax.device_get(r.d)),
+                  np.abs(np.asarray(jax.device_get(r.e))))
+            if ref_de is None:
+                ref_de = de; dmax = 0.0
+            else:
+                dmax = max(float(np.abs(de[0]-ref_de[0]).max()),
+                           float(np.abs(de[1]-ref_de[1]).max()))
+            print(json.dumps({"G": gsz, "io": io, "n": n, "bw": bw,
+                              "time_s": round(dt, 3),
+                              "maxdiff_vs_first": float(f"{dmax:.3e}")}),
+                  flush=True)
+        except Exception as exc:
+            print(json.dumps({"G": gsz, "io": io,
+                              "err": str(exc)[:160]}), flush=True)
+        jax.clear_caches()

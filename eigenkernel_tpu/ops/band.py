@@ -151,21 +151,31 @@ def _to_band_panels(a: jax.Array, bw: int, mesh: Optional[Mesh],
 
 def apply_band_q(res: BandResult, z: jax.Array, bw: int,
                  mesh: Optional[Mesh] = None,
-                 transpose: bool = False) -> jax.Array:
-    """``z <- Q z`` with Q the stage-1 band-reduction transform."""
+                 transpose: bool = False, group: int = 0) -> jax.Array:
+    """``z <- Q z`` with Q the stage-1 band-reduction transform.
+
+    WY groups of ``group`` consecutive panels per z pass (exact — see
+    ops/householder.py::apply_q).  The unfilled last panel slot of the
+    V store is all-zero with tau = 0, i.e. identity reflectors, so the
+    grouping runs over the round ``nb = n/bw`` panel count.
+    """
+    from eigenkernel_tpu.ops.householder import _wy_group_size
+
     n = res.V.shape[0]
     nb = n // bw
-    npanels = max(nb - 1, 0)
-    if npanels == 0:
+    if nb <= 1:
         return z
+    g = _wy_group_size(nb, bw, group)
+    gb = g * bw
+    ng = nb // g
 
     def step(i, z):
-        p = i if transpose else npanels - 1 - i
-        s = p * bw
-        v = lax.dynamic_slice(res.V, (0, s), (n, bw))
-        tau_p = lax.dynamic_slice(res.taus, (s,), (bw,))
+        p = i if transpose else ng - 1 - i
+        s = p * gb
+        v = lax.dynamic_slice(res.V, (0, s), (n, gb))
+        tau_p = lax.dynamic_slice(res.taus, (s,), (gb,))
         t = wy_t_factor(v, tau_p)
         t = t.T if transpose else t
         return _wsc(z - v @ (t @ (v.T @ z)), mesh)
 
-    return lax.fori_loop(0, npanels, step, _wsc(z, mesh))
+    return lax.fori_loop(0, ng, step, _wsc(z, mesh))

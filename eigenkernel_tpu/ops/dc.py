@@ -348,10 +348,16 @@ def tridiag_dc(d: jax.Array, e: jax.Array,
 
     Returns (w, q): w (n,) ascending, q (n, n) orthonormal columns.
     """
+    import os
+
     n = d.shape[0]
     dtype = d.dtype
     if iters is None:
-        iters = 60 if dtype == jnp.float64 else 30
+        # fixed-count safeguarded Newton (jit-static); EK_DC_ITERS
+        # overrides for A/B — the defaults carry margin (the rational +
+        # geometric-bisection hybrid typically converges in < 15)
+        iters = int(os.environ.get("EK_DC_ITERS", "0")) or \
+            (60 if dtype == jnp.float64 else 30)
     base, levels = _tree_shape(n)
     N = base << levels
 

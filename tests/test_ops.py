@@ -206,3 +206,25 @@ def test_bulge_chase_wavefront2_matches_sequential(n, bw):
     assert np.abs(np.array(r1.e) - np.array(r2.e)).max() < 1e-10
     assert np.abs(np.array(r1.HV) - np.array(r2.HV)).max() < 1e-10
     assert np.abs(np.array(r1.HT) - np.array(r2.HT)).max() < 1e-10
+
+
+def test_back_transform_wy_grouping(sym_factory, rng):
+    # grouped compact-WY back-transform is exact vs per-panel (the WY
+    # identity holds for any number of consecutive reflectors); covers
+    # the identity last panel slot of the band V store
+    n, b = 192, 32
+    A = sym_factory(n)
+    tri = tridiagonalize(jnp.asarray(A), block=b)
+    z = jnp.asarray(rng.standard_normal((n, n // 2)))
+    base = np.array(apply_q(tri, z, block=b, group=1))
+    base_t = np.array(apply_q(tri, z, block=b, transpose=True, group=1))
+    for g in (2, 3, 6):
+        got = np.array(apply_q(tri, z, block=b, group=g))
+        assert np.abs(got - base).max() < 1e-12
+        got_t = np.array(apply_q(tri, z, block=b, transpose=True, group=g))
+        assert np.abs(got_t - base_t).max() < 1e-12
+    res = to_band(jnp.asarray(A), bw=b)
+    b1 = np.array(apply_band_q(res, z, bw=b, group=1))
+    for g in (2, 3, 6):
+        gg = np.array(apply_band_q(res, z, bw=b, group=g))
+        assert np.abs(gg - b1).max() < 1e-12

@@ -214,10 +214,14 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
     init = (jnp.asarray(False), jnp.asarray(0, idx.dtype),
             jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype))
     # unroll: the scan is K steps of O(1) scalar work — loop-control
-    # overhead dominates on TPU; 8-way unrolling cuts it without changing
-    # the sequential recurrence
+    # overhead dominates on TPU; unrolling cuts it without changing the
+    # sequential recurrence (EK_DC_UNROLL for A/B; compile size grows
+    # with it)
+    import os
+
+    unroll = int(os.environ.get("EK_DC_UNROLL", "8"))
     (has_p, ip, dp, up), outs = lax.scan(t2step, init, (idx, ds, us, alive),
-                                         unroll=8)
+                                         unroll=unroll)
     fin_idx, fin_d, fin_u, fin_valid, rot_ip, rot_i, rot_c, rot_s, rot_m = \
         outs
 
@@ -288,7 +292,7 @@ def _merge_one(w1, w2, q1, q2, e_mid, iters, mesh=None):
     idt = rot_ip.dtype
     (_, _), depths = lax.scan(
         depth_step, (jnp.asarray(-1, idt), jnp.asarray(0, idt)),
-        (rot_ip, rot_i, rot_m), unroll=8)
+        (rot_ip, rot_i, rot_m), unroll=unroll)
     depths = jnp.where(rot_m, depths, -1)
     maxd = jnp.max(depths)
 

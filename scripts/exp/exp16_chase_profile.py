@@ -16,10 +16,12 @@ for d in range(bw + 1):
 band = band + band.T - np.diag(np.diag(band))
 band_dev = jnp.asarray(band)
 
-for dbg in ("11", "0", "2"):
+for io in os.environ.get("IOS", "lane,align").split(","):
+  for dbg in ("11", "0", "2"):
     for fuse in ("4", "8"):
         os.environ["EK_PALLAS_CHASE_DBG"] = dbg
         os.environ["EK_PALLAS_CHASE_FUSE"] = fuse
+        os.environ["EK_PALLAS_CHASE_ALIGN"] = "1" if io == "align" else "0"
         f = jax.jit(lambda x: band_to_tridiag_pallas(x, bw))
         try:
             r = f(band_dev)          # compile + run
@@ -28,9 +30,9 @@ for dbg in ("11", "0", "2"):
             r = f(band_dev)
             s = float(jnp.sum(r.d) + jnp.sum(r.e))
             dt = time.time() - t0
-            print(json.dumps({"dbg": dbg, "fuse": fuse, "n": n, "bw": bw,
+            print(json.dumps({"io": io, "dbg": dbg, "fuse": fuse, "n": n, "bw": bw,
                               "time_s": round(dt, 3)}), flush=True)
         except Exception as exc:
-            print(json.dumps({"dbg": dbg, "fuse": fuse,
+            print(json.dumps({"io": io, "dbg": dbg, "fuse": fuse,
                               "err": str(exc)[:200]}), flush=True)
         jax.clear_caches()

@@ -139,7 +139,12 @@ def _to_band_panels(a: jax.Array, bw: int, mesh: Optional[Mesh],
         w = av @ t
         mmat = t.T @ (V.T @ av) @ t
         u = w - 0.5 * (V @ mmat)
-        a = _wsc(a - u @ V.T - V @ u.T, mesh)
+        # one concatenated rank-2b GEMM: u V^T + V u^T = [u V] [V u]^T —
+        # a single read+write pass over the trailing matrix instead of
+        # two (to_band is HBM-bound; its panel QR never touches a)
+        uv = jnp.concatenate([u, V], axis=1)
+        vu = jnp.concatenate([V, u], axis=1)
+        a = _wsc(a - uv @ vu.T, mesh)
         vstore = lax.dynamic_update_slice(vstore, V, (0, s))
         taus = lax.dynamic_update_slice(taus, tau_p, (s,))
         return (a, vstore, taus)

@@ -174,8 +174,11 @@ def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
         V, W, d, e, taus = lax.fori_loop(
             0, b, panel_step, (V0, W0, d, e, taus))
         # V/W columns vanish outside the panel's trailing rows, so this
-        # full-size rank-2b update touches exactly the trailing block.
-        a = _wsc(a - V @ W.T - W @ V.T, mesh)
+        # full-size rank-2b update touches exactly the trailing block —
+        # concatenated into ONE GEMM (one pass over a, not two).
+        vw = jnp.concatenate([V, W], axis=1)
+        wv = jnp.concatenate([W, V], axis=1)
+        a = _wsc(a - vw @ wv.T, mesh)
         vstore = lax.dynamic_update_slice(vstore, V, (0, s))
         return (a, d, e, taus, vstore)
 

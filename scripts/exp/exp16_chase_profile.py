@@ -18,7 +18,7 @@ band_dev = jnp.asarray(band)
 
 for io in os.environ.get("IOS", "lane,align").split(","):
   for dbg in ("11", "0", "2"):
-    for fuse in ("4", "8"):
+    for fuse in os.environ.get("FUSES", "4,8").split(","):
         os.environ["EK_PALLAS_CHASE_DBG"] = dbg
         os.environ["EK_PALLAS_CHASE_FUSE"] = fuse
         os.environ["EK_PALLAS_CHASE_ALIGN"] = "1" if io == "align" else "0"

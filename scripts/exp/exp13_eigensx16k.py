@@ -27,6 +27,13 @@ for it in range(2):
               if not e["name"].startswith("!")}
     print(json.dumps({"iter": it, "n": n, "time_s": round(dt, 3),
                       "stages": stages}), flush=True)
+    if it == 0:
+        # drop iter-0 eigenpairs before the warm run: at n=16384 two
+        # live (values, vectors) sets + stores exceed HBM (observed
+        # RESOURCE_EXHAUSTED on the warm back_transform)
+        import gc
+        p = None
+        gc.collect()
 # residual on a few columns
 V = np.asarray(jax.device_get(p.vectors[:, :64]))
 w = np.asarray(jax.device_get(p.values[:64]))

@@ -406,14 +406,18 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
         from eigenkernel_tpu.ops.bulge import band_to_tridiag_wavefront2
         return band_to_tridiag_wavefront2(band, bw, mesh=mesh)
 
-    # lane-group sizes: keep the per-step scoped-VMEM live set ~3 MB
-    # (the monolithic all-lane step exceeded the 16 MB scoped limit at
-    # n=4096/bw=32).  Balanced partition with every part >= 2: a size-1
-    # group makes (1, b) vectors, which hit a Mosaic "Invalid relayout"
-    # bug (replicated-singleton, hardware-probed).  EK_PALLAS_CHASE_GROUP
-    # overrides the target size.
+    # lane-group sizes: the per-step scoped-VMEM live set is ~10 KB * b
+    # per lane (shear temporaries); the 16 MB scoped limit bounds G.
+    # Fewer, bigger groups win: the per-group-iteration fixed cost
+    # dominates at large n (16384/bw32 A/B: 7 groups 11.25 s vs 4 groups
+    # 6.82 s, evidence/CHASE_AB_r3s6.md), so target ~11 MB scoped
+    # (G=35 at bw=32; G=34 is hardware-validated, a too-big target
+    # fails at COMPILE time, not run time).  Balanced partition with
+    # every part >= 2: a size-1 group makes (1, b) vectors, which hit a
+    # Mosaic "Invalid relayout" bug (replicated-singleton,
+    # hardware-probed).  EK_PALLAS_CHASE_GROUP overrides the target.
     gtarget = int(os.environ.get("EK_PALLAS_CHASE_GROUP", "0")) or \
-        max(2, min(nW, (6 * 2 ** 20) // (10240 * b)))
+        max(2, min(nW, (11 * 2 ** 20) // (10240 * b)))
     ngroups = max(1, -(-nW // gtarget))
     if ngroups > 1 and nW // ngroups < 2:
         ngroups = max(1, nW // 2)

@@ -114,6 +114,11 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         chase = _run(ctx, "sep:band_to_tridiag", _j_band_to_tridiag,
                      band_res.band, bw, schedule, ctx.mesh,
                      flops=fl.band_to_tridiag(n, bw))
+    # the dense band matrix (O(n^2)) is dead once the chase extracted its
+    # banded state — drop it before the eigh/back-transform stages so the
+    # peak HBM at n>=16384 stays clear of the stores + eigvec buffers
+    # (observed RESOURCE_EXHAUSTED headroom at 16384 f32)
+    band_res = band_res._replace(band=None)
     full = n_vec * 2 >= n
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 chase.d, chase.e, n_vec, ctx.mesh,

@@ -26,3 +26,7 @@ for it in range(2):
     print(json.dumps({"iter": it, "n": n, "gemm": mode,
                       "time_s": round(dt, 3), "resid": resid,
                       "orth": orth}), flush=True)
+    if it == 0:
+        import gc
+        p = None  # free iter-0 eigenpairs (HBM headroom for the warm run)
+        gc.collect()

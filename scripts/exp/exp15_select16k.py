@@ -38,6 +38,10 @@ for it in range(2):
     print(json.dumps({"iter": it, "n": n, "k": k,
                       "core": os.environ.get("EK_SELECT_CORE", "auto"),
                       "time_s": round(dt, 3), "stages": stages}), flush=True)
+    if it == 0:
+        import gc
+        p = None  # free iter-0 eigenpairs (HBM headroom for the warm run)
+        gc.collect()
 V = np.asarray(jax.device_get(p.vectors))
 w = np.asarray(jax.device_get(p.values))
 r = a @ V - V * w[None, :]

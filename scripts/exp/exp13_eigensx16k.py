@@ -17,10 +17,11 @@ a = (a + a.T) / 2
 def sync(p):
     return float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
 
+ad = jnp.asarray(a)  # upload once: 1 GB/call through the tunnel otherwise
 for it in range(2):
     log = EventLog(stream=False)
     t0 = time.time()
-    p = solve(a, solver="eigensx", log=log)
+    p = solve(ad, solver="eigensx", log=log)
     s = sync(p)
     dt = time.time() - t0
     stages = {e["name"]: round(e["val"], 3) for e in log.events()

@@ -13,9 +13,10 @@ rng = np.random.default_rng(0)
 a = rng.standard_normal((n, n))
 a = ((a + a.T) / 2).astype(np.float64)
 
+ad = jnp.asarray(a)  # upload once: 1 GB/call through the tunnel otherwise
 for it in range(2):
     t0 = time.time()
-    p = solve(a, solver="scalapack", dtype="mixed")
+    p = solve(ad, solver="scalapack", dtype="mixed")
     s = float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
     dt = time.time() - t0
     V = np.asarray(jax.device_get(p.vectors)).astype(np.float64)

@@ -27,10 +27,11 @@ else:
     a = (a + a.T) / 2
     w_true = None
 
+ad = jnp.asarray(a)  # upload once: 1 GB/call through the tunnel otherwise
 for it in range(2):
     log = EventLog(stream=False)
     t0 = time.time()
-    p = solve(a, solver="scalapack_select", n_vec=k, log=log)
+    p = solve(ad, solver="scalapack_select", n_vec=k, log=log)
     s = float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
     dt = time.time() - t0
     stages = {e["name"]: round(e["val"], 3) for e in log.events()

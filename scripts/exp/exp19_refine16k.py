@@ -37,7 +37,7 @@ def quality(w, v, ad):
 
 for it in range(2):
     t0 = time.time()
-    p = solve(a, solver="scalapack", dtype="mixed")
+    p = solve(ad, solver="scalapack", dtype="mixed")
     s = float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
     dt = time.time() - t0
     resid, orth = quality(p.values, p.vectors, ad)

@@ -15,9 +15,10 @@ rng = np.random.default_rng(0)
 from eigenkernel_tpu.solvers import solve
 a = rng.standard_normal((n, n)).astype(np.float32)
 a = (a + a.T) / 2
+ad = jnp.asarray(a)  # upload once: 1 GB/call through the tunnel otherwise
 for it in range(2):
     t0 = time.time()
-    p = solve(a, solver="scalapack")
+    p = solve(ad, solver="scalapack")
     s = float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
     print(json.dumps({"what": "scalapack_canary", "iter": it, "n": n,
                       "time_s": round(time.time() - t0, 3)}), flush=True)

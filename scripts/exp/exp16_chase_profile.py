@@ -16,9 +16,17 @@ for d in range(bw + 1):
 band = band + band.T - np.diag(np.diag(band))
 band_dev = jnp.asarray(band)
 
+t_start = time.time()
+budget = int(os.environ.get("BUDGET_S", "3600"))
 for io in os.environ.get("IOS", "lane,align").split(","):
   for dbg in ("11", "0", "2"):
     for fuse in os.environ.get("FUSES", "4,8").split(","):
+        if time.time() - t_start > budget:
+            # self-budget between configs: an external timeout killing a
+            # remote compile mid-flight wedges the TPU queue for ~40 min
+            print(json.dumps({"skipped": f"{io}/{dbg}/{fuse}",
+                              "reason": "budget"}), flush=True)
+            continue
         os.environ["EK_PALLAS_CHASE_DBG"] = dbg
         os.environ["EK_PALLAS_CHASE_FUSE"] = fuse
         os.environ["EK_PALLAS_CHASE_ALIGN"] = "1" if io == "align" else "0"

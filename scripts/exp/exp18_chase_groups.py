@@ -17,8 +17,13 @@ band = band + band.T - np.diag(np.diag(band))
 band_dev = jnp.asarray(band)
 ref_de = None
 
+t_start = time.time()
+budget = int(os.environ.get("BUDGET_S", "5400"))
 for gsz in os.environ.get("GSIZES", "0,26,34").split(","):
     for io in os.environ.get("IOS", "lane,span,align").split(","):
+        if time.time() - t_start > budget:
+            print(json.dumps({"skipped": f"{gsz}/{io}"}), flush=True)
+            continue
         os.environ["EK_PALLAS_CHASE_GROUP"] = gsz
         os.environ["EK_PALLAS_CHASE_IO"] = "lane" if io == "align" else io
         os.environ["EK_PALLAS_CHASE_ALIGN"] = "1" if io == "align" else "0"

@@ -36,6 +36,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import Mesh
 
 from eigenkernel_tpu.ops.blocked import _wsc
@@ -68,18 +69,16 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     tiny_prev = None
 
     # GEMM path for the residual-forming products.  Hardware-measured
-    # (TPU v5e, 2026-08-17, evidence/REFINE_r3.md): plain emulated-f64
-    # matmuls under default_matmul_precision('highest') reach 2.1e-15
-    # rel err and the full mixed solve hits resid 9.5e-15 at n=2048 in
-    # 0.45 s warm — the round-2 "1.8e-9 emulated-f64 floor" was the
-    # refinement limit cycle (since fixed by the monotone threshold
-    # below), not the matmul lowering.  The Ozaki bf16-slice path
-    # (ops/ozaki.py, exact MXU products recombined to ~2^-48) remains
-    # available via EK_REFINE_GEMM=ozaki but measured ~25x slower than
-    # the f64 path at n=2048 and is not accuracy-required.
+    # (TPU v5e, evidence/REFINE_r3.md + session-6 revalidation): the
+    # emulated-f64 matmul path reaches 9.5e-15 at n=2048 (0.45 s) but
+    # FAILS the 1e-12 bar at n=4096 (2.7e-8 — the truncated emulated-f64
+    # lowering floor compounds with n), while the Ozaki bf16-slice path
+    # (ops/ozaki.py, exact MXU products recombined to ~2^-48) passes at
+    # both sizes AND is faster (2048: 0.34 s / 1.5e-13; 4096: 1.48 s /
+    # 4.8e-13) — so auto selects ozaki on TPU.  On CPU f64 is native.
     gemm_mode = os.environ.get("EK_REFINE_GEMM", "auto")
     if gemm_mode == "auto":
-        gemm_mode = "f64"
+        gemm_mode = "ozaki" if jax.default_backend() == "tpu" else "f64"
     if gemm_mode == "ozaki":
         from eigenkernel_tpu.ops import ozaki
 
@@ -210,10 +209,21 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         return s, j_acc
 
     def one_pass(s, j_acc, parity):
-        rows = jnp.arange(parity, k - 1, 2)
-        app = s[rows, rows]
-        aqq = s[rows + 1, rows + 1]
-        apq = s[rows, rows + 1]
+        # adjacent pairs (parity, parity+1), (parity+2, parity+3), ...
+        # — a REGULAR stride-2 pattern, so every access below is a
+        # static slice/reshape view (fancy indexing lowers to TPU
+        # gathers/scatters: 34x slow, and the (16384,16384) scatter
+        # exceeded the 16 MB scoped-VMEM limit at compile time)
+        npair = (k - parity) // 2
+        lo, hi = parity, parity + 2 * npair
+        # diagonals via flat strided views (no gather)
+        flat = s.reshape(-1)
+        diag = lax.slice(flat, (0,), ((k - 1) * (k + 1) + 1,), (k + 1,))
+        sup = lax.slice(flat, (1,), ((k - 2) * (k + 1) + 2,), (k + 1,))
+        dpair = lax.slice(diag, (lo,), (hi,)).reshape(npair, 2)
+        app = dpair[:, 0]
+        aqq = dpair[:, 1]
+        apq = lax.slice(sup, (lo,), (hi - 1,), (2,))
         # thresholds/clamps sized for TPU's range-limited emulated f64
         # (double-float: ~f64 precision, f32 EXPONENT range — finfo.tiny
         # flushes to 0 and any overflow, e.g. tau^2, yields NaN rather
@@ -237,18 +247,22 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         sn = t * c
 
         def rot_rows(m):
-            mj = m[rows, :]
-            mj1 = m[rows + 1, :]
-            m = m.at[rows, :].set(c[:, None] * mj - sn[:, None] * mj1)
-            m = m.at[rows + 1, :].set(sn[:, None] * mj + c[:, None] * mj1)
-            return m
+            core = m[lo:hi, :].reshape(npair, 2, k)
+            mj, mj1 = core[:, 0, :], core[:, 1, :]
+            new = jnp.stack(
+                [c[:, None] * mj - sn[:, None] * mj1,
+                 sn[:, None] * mj + c[:, None] * mj1], axis=1)
+            return jnp.concatenate(
+                [m[:lo, :], new.reshape(2 * npair, k), m[hi:, :]], axis=0)
 
         def rot_cols(m):
-            mj = m[:, rows]
-            mj1 = m[:, rows + 1]
-            m = m.at[:, rows].set(c[None, :] * mj - sn[None, :] * mj1)
-            m = m.at[:, rows + 1].set(sn[None, :] * mj + c[None, :] * mj1)
-            return m
+            core = m[:, lo:hi].reshape(k, npair, 2)
+            mj, mj1 = core[:, :, 0], core[:, :, 1]
+            new = jnp.stack(
+                [c[None, :] * mj - sn[None, :] * mj1,
+                 sn[None, :] * mj + c[None, :] * mj1], axis=2)
+            return jnp.concatenate(
+                [m[:, :lo], new.reshape(k, 2 * npair), m[:, hi:]], axis=1)
 
         s = rot_cols(rot_rows(s))
         j_acc = rot_cols(j_acc)

@@ -92,12 +92,22 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     win_dn = jnp.roll(win, -1, axis=1)                    # rows shifted up 1
     # doubled rows: drow[r] = rows (r, r+1) for r < b (the A/v1 half)
     # and rows (b+r', b+r'+1) for r = b+r' (the B/v2 half) — ONE merged
-    # (G, 2b, 2W) array so the shear network runs once, not twice (the
+    # (G, 2b, netw) array so the shear network runs once, not twice (the
     # v2 half's extra -1 lane shift is folded in as a masked pre-roll;
     # both halves then shear by the same b-1-(r mod b) schedule).
     # Logical W-wide rows: the flat wrap point must sit at lane W.
+    #
+    # Network width: the left-shear for row r reads drow lanes
+    # [shift_r, shift_r + 2b) with shift_r <= b-1, i.e. lanes < 3b-1 —
+    # so for 3b+1 <= Wp the whole network runs at EXACTLY one lane tile
+    # (Wp=128) instead of 2W->256: the shear roll+select passes are the
+    # dominant per-tau compute (dbg ladder at 8192: loads 0.43 s,
+    # +stores 0.41 s, full 1.77 s), and this halves their width.  The
+    # wrap contamination from 128-wide rolls stays in lanes >= 3b-1,
+    # which nothing reads.
+    netw = Wp if 3 * b + 2 <= Wp else 2 * W
     drow = jnp.concatenate([win[:, :2 * b, :W],
-                            win_dn[:, :2 * b, :W]], axis=2)
+                            win_dn[:, :2 * b, :netw - W]], axis=2)
     drow = jnp.where(rr >= b, jnp.roll(drow, -1, axis=-1), drow)
     sheared = _shear(drow, shear2, b - 1, -1)[:, :, :2 * b]
     v1 = sheared[:, :b, :]
@@ -164,8 +174,12 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     new_v2 = jnp.concatenate([v2n, v2hi], axis=2)
 
     # ---- inverse shear write-back into the window rows 0..2b-1 ----
-    # (merged A/B halves, one shear network — see the extract above)
-    Bw = max(2 * W, Wp)        # >= Wp for the FH slice, >= W+b for wrap
+    # (merged A/B halves, one shear network — see the extract above).
+    # Same one-lane-tile width: the right-shear needs lanes < 3b, the
+    # FH masks read lanes < W, and the SH wrap roll by -W sources lanes
+    # < W + b — all < Wp for 3b+2 <= Wp; right-roll wrap-ins come from
+    # the zero padding, not garbage.
+    Bw = netw if netw >= Wp else max(2 * W, Wp)
     zpad = jnp.zeros((G, 2 * b, Bw - 2 * b), dtype)
     new12 = jnp.concatenate([new_v1, new_v2], axis=1)     # (G, 2b, 2b)
     back = _shear(jnp.concatenate([new12, zpad], axis=2),

@@ -74,8 +74,27 @@ def _shear(x, slope_shift, max_shift, direction):
     return out
 
 
+def _shear_roll(x, b, direction):
+    """Same shear (row r by ``direction * (b-1-(r%b))`` lanes) as ONE
+    strided hardware rotate per b-row half (``tpu.DynamicRotate`` with
+    per-sublane stride) instead of log2(b) roll+select passes — the
+    shear passes are the dominant per-tau compute (dbg ladder,
+    evidence/CHASE_AB_r3s6.md).  Cyclic identities: left by (b-1-r) ==
+    roll by r-(b-1) (mod L) == shift (L-b+1), stride +1; right uses
+    stride L-1 (== -1 mod L).  EK_PALLAS_CHASE_SHEAR=roll selects it."""
+    L = x.shape[-1]
+    xA, xB = x[:, :b, :], x[:, b:, :]
+    if direction < 0:
+        sh, st = (L - b + 1) % L, 1
+    else:
+        sh, st = b - 1, L - 1
+    outA = pltpu.roll(xA, sh, 2, stride=st, stride_axis=1)
+    outB = pltpu.roll(xB, sh, 2, stride=st, stride_axis=1)
+    return jnp.concatenate([outA, outB], axis=1)
+
+
 def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
-                 dtype):
+                 dtype, shear_roll: bool = False):
     """One wavefront step for a GROUP of G lanes.
 
     ``win``: (G, 2b+1, Wp) — rows 0..2b of each lane's band window.
@@ -109,7 +128,9 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     drow = jnp.concatenate([win[:, :2 * b, :W],
                             win_dn[:, :2 * b, :netw - W]], axis=2)
     drow = jnp.where(rr >= b, jnp.roll(drow, -1, axis=-1), drow)
-    sheared = _shear(drow, shear2, b - 1, -1)[:, :, :2 * b]
+    shear_f = (lambda x, d: _shear_roll(x, b, d)) if shear_roll else \
+        (lambda x, d: _shear(x, shear2, b - 1, d))
+    sheared = shear_f(drow, -1)[:, :, :2 * b]
     v1 = sheared[:, :b, :]
     v2full = sheared[:, b:2 * b, :]
     rw_ = lax.broadcasted_iota(jnp.int32, (b, Wp), 0)
@@ -182,8 +203,7 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     Bw = netw if netw >= Wp else max(2 * W, Wp)
     zpad = jnp.zeros((G, 2 * b, Bw - 2 * b), dtype)
     new12 = jnp.concatenate([new_v1, new_v2], axis=1)     # (G, 2b, 2b)
-    back = _shear(jnp.concatenate([new12, zpad], axis=2),
-                  shear2, b - 1, +1)
+    back = shear_f(jnp.concatenate([new12, zpad], axis=2), +1)
     back = jnp.where(rr >= b, jnp.roll(back, 1, axis=-1), back)
     backA = back[:, :b, :]
     backB = back[:, b:2 * b, :]
@@ -220,7 +240,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                   n: int, b: int, W: int, Wp: int, T: int, nW: int,
                   pad: int, tau_max: int, group: tuple, span_io: bool,
                   fuse: int, clamp: int = 0, dbg: int = 2,
-                  align_c: int = 0):
+                  align_c: int = 0, shear_roll: bool = False):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -312,7 +332,8 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
                 tau_h = jnp.zeros((G, 1), dtype)
             else:
                 new_rows, v, tau_h = _chase_group(
-                    win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype)
+                    win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype,
+                    shear_roll=shear_roll)
 
             if dbg != 11:
                 if align_c:
@@ -448,6 +469,8 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
                              nW=nW, pad=pad, tau_max=tau_max,
                              group=group, span_io=span_io, fuse=fuse,
                              clamp=clamp, align_c=align_c,
+                             shear_roll=os.environ.get(
+                                 "EK_PALLAS_CHASE_SHEAR", "net") == "roll",
                              dbg=int(os.environ.get(
                                  "EK_PALLAS_CHASE_DBG", "2")))
     state_shape = (rows_tot // 8, 8, Wp) if align_c else (rows_tot, Wp)

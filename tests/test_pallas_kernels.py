@@ -225,3 +225,38 @@ def test_pallas_chase_vmem_budget_fallback(monkeypatch):
     ref = band_to_tridiag_wavefront2(br.band, bw)
     assert np.array_equal(np.asarray(ref.d), np.asarray(got.d))
     assert np.array_equal(np.asarray(ref.e), np.asarray(got.e))
+
+
+def test_pallas_chase_shear_roll_mode(monkeypatch):
+    # EK_PALLAS_CHASE_SHEAR=roll replaces the log2(b) masked-roll shear
+    # network with one strided hardware rotate per half
+    # (tpu.DynamicRotate).  Bit-identical at bw=8; at bw=32 XLA fuses
+    # the downstream f32 reductions differently around the primitive
+    # (ulp drift, same phenomenon as net-vs-wavefront2), so the bw=32
+    # case is validated by spectrum.
+    from eigenkernel_tpu.ops.band import to_band
+    from eigenkernel_tpu.ops.pallas_chase import band_to_tridiag_pallas
+
+    rng = np.random.default_rng(3)
+    n, bw = 192, 8
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    ref = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    monkeypatch.setenv("EK_PALLAS_CHASE_SHEAR", "roll")
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    assert np.array_equal(np.asarray(ref.d), np.asarray(got.d))
+    assert np.array_equal(np.asarray(ref.e), np.asarray(got.e))
+    assert np.array_equal(np.asarray(ref.HV), np.asarray(got.HV))
+
+    n, bw = 256, 32
+    A = rng.standard_normal((n, n)).astype(np.float32)
+    A = (A + A.T) / 2
+    br = to_band(jnp.asarray(A), bw=bw)
+    got = band_to_tridiag_pallas(br.band, bw, interpret=True)
+    lam_band = np.linalg.eigvalsh(np.asarray(br.band, np.float64))
+    d = np.asarray(got.d, np.float64)
+    e = np.asarray(got.e, np.float64)
+    lam = np.linalg.eigvalsh(np.diag(d) + np.diag(e, 1) + np.diag(e, -1))
+    scale = np.abs(lam_band).max()
+    assert np.abs(lam - lam_band).max() < 5e-5 * scale

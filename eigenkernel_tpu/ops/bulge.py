@@ -324,6 +324,109 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
     return zp[top:top + n]
 
 
+def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
+                            group: int = 0,
+                            mesh: Optional[Mesh] = None) -> jax.Array:
+    """``z <- Q2 z``: the blocked WY application on a group WAVEFRONT.
+
+    :func:`apply_chase_q_blocked` runs ``n_groups * T`` sequential window
+    steps — latency-bound on TPU (~24 us/step fixed cost, measured at
+    n=8192: 1.92 s vs a 0.34 s HBM floor).  Here group ``G`` executes its
+    band position ``t = tau - G``, so one loop step applies ALL groups'
+    windows batched.  This is exact:
+
+    * windows active at the same ``tau`` are row-DISJOINT — lane spacing
+      is ``S = b + g`` rows > window length ``L = b + g - 1``;
+    * every overlapping pair keeps its blocked-schedule order — for
+      ``G' > G`` overlap requires ``|(t'-t)b - (G'-G)g| < L`` which with
+      ``g <= b`` forces ``t' - t >= G' - G - 1 >= 0``, hence
+      ``tau' - tau = (t'-t) + (G'-G) >= 1`` (and the ``tau' = tau`` case
+      is the disjoint same-step batch).
+
+    The active windows at time ``tau`` start at ``base(tau) + l*S`` for
+    lane ``l = nG-1-G`` — a REGULAR stride — so one covering dynamic
+    slice of ``(nG*S, k)`` rows feeds a batched ``(nG, L, k)`` update
+    (the chase kernel's covering-slice trick applied to the BT).  Lanes
+    whose ``t`` is out of ``[0, T)`` read all-zero reflectors from the
+    store's padding (tau=0 => M=I, Y=0: exact identity).  Sequential
+    steps drop to ``T + nG - 1``; loop count at 8192/bw32: 514 vs 66048.
+
+    Reflector access: the per-``tau`` anti-diagonal ``X[G, tau-G]`` of
+    the (nG, T', g, b) group-major store is a STATIC flat-stride view
+    (``flat[G*(T'-1) + tau]`` with the t axis zero-padded to
+    ``T' = T + nG``), sliced per step at dynamic ``tau`` — no gathers.
+    """
+    n, k = z.shape
+    b = bw
+    T = res.HV.shape[1]
+    if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
+        return z
+    if group <= 0:
+        group = b if jax.default_backend() == "tpu" else 32
+    g = min(group, b)
+    nsweeps = n - 2
+    nG = -(-nsweeps // g)
+    L = b + g - 1
+    S = b + g
+    Tp = T + nG
+    dtype = z.dtype
+
+    # group-major reversed store: lane l = nG-1-G, group G = sweeps
+    # [c0-g+1 .. c0] newest-first (the blocked path's hv_desc order)
+    padG = nG * g - nsweeps
+    HVr = jnp.concatenate(
+        [res.HV[:nsweeps][::-1], jnp.zeros((padG, T, b), dtype)], axis=0)
+    HTr = jnp.concatenate(
+        [res.HT[:nsweeps][::-1], jnp.zeros((padG, T), dtype)], axis=0)
+    X = HVr.reshape(nG, g, T, b).swapaxes(1, 2)          # (nG, T, g, b)
+    X = jnp.concatenate([X, jnp.zeros((nG, nG, g, b), dtype)], axis=1)
+    Xt = HTr.reshape(nG, g, T).swapaxes(1, 2)
+    Xt = jnp.concatenate([Xt, jnp.zeros((nG, nG, g), dtype)], axis=1)
+    # anti-diagonal flat-stride view + lane flip (ascending rows)
+    HVv = X.reshape(nG * Tp, g * b)[: nG * (Tp - 1)].reshape(
+        nG, Tp - 1, g * b)[::-1]
+    HTv = Xt.reshape(nG * Tp, g)[: nG * (Tp - 1)].reshape(
+        nG, Tp - 1, g)[::-1]
+
+    # z row frame: z[i] at zp row top+i; window (G, t) starts at z row
+    # c0-g+2+t*b (as in the blocked path) = base(tau) + l*S - top
+    top = max(0, (nG - 1) * S + g - (nsweeps + 1)) + 8
+    base0 = nsweeps + 1 + top - g - (nG - 1) * S         # base(tau=0)
+    rows_tot = base0 + (Tp - 2) * b + nG * S + 8
+    zp = jnp.zeros((max(rows_tot, top + n), k), dtype)
+    zp = lax.dynamic_update_slice(zp, z, (top, 0))
+
+    r_arr = jnp.arange(L)
+    j_arr = jnp.arange(g)
+    emb_q = r_arr[:, None] - (g - 1) + j_arr[None, :]
+    emb_ok = (emb_q >= 0) & (emb_q < b)
+    embed = jax.vmap(lambda hd: _wy_embed(hd, g, b, L, emb_ok))
+    eye = jnp.eye(g, dtype=dtype)
+
+    def step(tau, zp):
+        hv = lax.dynamic_slice(HVv, (0, tau, 0),
+                               (nG, 1, g * b)).reshape(nG, g, b)
+        ht = lax.dynamic_slice(HTv, (0, tau, 0), (nG, 1, g))[:, 0, :]
+        Y = embed(hv)                                     # (nG, L, g)
+        gram = jnp.einsum("nlg,nlh->ngh", Y, Y)
+        tau_safe = jnp.where(ht == 0, 1.0, ht)
+        M = jnp.tril(gram, -1) + eye[None] * (1.0 / tau_safe)[:, :, None]
+        base = base0 + tau * b
+        zw = lax.dynamic_slice(zp, (base, 0), (nG * S, k)).reshape(
+            nG, S, k)
+        zwin = zw[:, :L, :]
+        w1 = jnp.einsum("nlg,nlk->ngk", Y, zwin)
+        w2 = lax.linalg.triangular_solve(M, w1, left_side=True,
+                                         lower=True)
+        zwin = zwin - jnp.einsum("nlg,ngk->nlk", Y, w2)
+        zw = jnp.concatenate([zwin, zw[:, L:, :]], axis=1)
+        return lax.dynamic_update_slice(zp, zw.reshape(nG * S, k),
+                                        (base, 0))
+
+    zp = lax.fori_loop(0, Tp - 1, step, zp)
+    return zp[top:top + n]
+
+
 def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):
     """One sweep of the sequential chase on banded storage.
 

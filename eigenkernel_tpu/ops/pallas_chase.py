@@ -417,7 +417,15 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # the structurally-zero padding rows (kept bit-zero by the exact-
     # zero reflector components), making their stale re-store harmless.
     align_c = 0
-    if os.environ.get("EK_PALLAS_CHASE_ALIGN", "0") not in ("", "0"):
+    # default from the r3s7 hardware A/B (evidence/CHASE_AB_r3s6.md +
+    # /tmp/tpuq exp23): tile-aligned cover IO wins up to n=8192 (4096:
+    # 0.43 vs 0.98 s; 8192: 0.50 vs 1.73 s) but loses at 16384 (10.5 vs
+    # 4.4 s — its per-group cover grows with the clamp span and the
+    # validated lane-group cap is lower), so align at n<=8192, lane above.
+    align_env = os.environ.get("EK_PALLAS_CHASE_ALIGN", "")
+    align_on = (align_env not in ("", "0")) if align_env != "" \
+        else (n <= 8192)
+    if align_on:
         align_c = -(-(2 * b + 8) // 8)
         rows_tot = -(-(pad + n + 8 * align_c) // 8) * 8
         clamp = rows_tot - 8 * align_c

@@ -55,6 +55,19 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
         from eigenkernel_tpu.ops.pallas_backtransform import (
             apply_chase_q_pallas)
         z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
+    elif method == "wavefront":
+        # column chunks bound the wavefront's padded-z working set
+        # (~4n rows) — needed for HBM headroom at n=16384 full spectrum
+        kc = int(os.environ.get("EK_BT_KCHUNK", "0")) or \
+            (2 if z.shape[0] * z.shape[1] > 2 ** 27 else 1)
+        if kc > 1 and z.shape[1] % kc == 0:
+            z = jax.numpy.concatenate(
+                [bulgelib.apply_chase_q_wavefront(chase_res, zc, bw=bw,
+                                                  group=g)
+                 for zc in jax.numpy.split(z, kc, axis=1)], axis=1)
+        else:
+            z = bulgelib.apply_chase_q_wavefront(chase_res, z, bw=bw,
+                                                 group=g)
     elif method == "blocked":
         z = bulgelib.apply_chase_q_blocked(chase_res, z, bw=bw, group=g)
     else:
@@ -126,11 +139,15 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 else fl.bisect_invit(n, n_vec))
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        # WY-grouped sweeps (ELPA2-style, hardware-validated): at group
-        # g=bw the traffic is already ~one pass over z, so it remains the
-        # default.  The (also hardware-validated, bw%128==0 only) Pallas
-        # kernel is explicit opt-in — no measured large-n win over blocked.
-        bt_method = "blocked"
+        # WY-grouped sweeps (ELPA2-style, hardware-validated).  Single-
+        # device TPU runs them on the group WAVEFRONT (T+nG batched
+        # covering-slice steps instead of nG*T sequential windows — the
+        # blocked loop is fixed-cost-bound at ~24 us/step, 1.92 s vs a
+        # 0.34 s HBM floor at 8192/bw32).  Meshes keep the sharded
+        # blocked schedule; the (hardware-validated, bw%128==0 only)
+        # Pallas kernel stays explicit opt-in.
+        bt_method = "wavefront" if (jax.default_backend() == "tpu"
+                                    and ctx.mesh is None) else "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,
              flops=fl.back_transform_two_stage(n, n_vec))

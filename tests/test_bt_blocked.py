@@ -23,6 +23,39 @@ def test_blocked_matches_unblocked(n, bw, g):
     assert np.abs(z1 - z2).max() < 1e-13
 
 
+@pytest.mark.parametrize("n,bw,g", [(96, 8, 4), (130, 16, 16), (64, 4, 3),
+                                    (157, 8, 5)])
+def test_wavefront_matches_unblocked(n, bw, g):
+    # group-wavefront batched form: T+nG covering-slice steps, exact
+    rng = np.random.default_rng(n + bw)
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    band = np.triu(np.tril(a, bw), -bw)
+    res = bulge.band_to_tridiag(jnp.asarray(band), bw=bw)
+    z = rng.standard_normal((n, max(4, n // 3)))
+    z1 = np.asarray(bulge.apply_chase_q(res, jnp.asarray(z), bw=bw))
+    z2 = np.asarray(bulge.apply_chase_q_wavefront(res, jnp.asarray(z),
+                                                  bw=bw, group=g))
+    assert np.abs(z1 - z2).max() < 1e-13
+
+
+def test_wavefront_two_stage_pipeline(monkeypatch):
+    # end-to-end with the wavefront back-transform + column chunking
+    monkeypatch.setenv("EK_BACKTRANSFORM", "wavefront")
+    monkeypatch.setenv("EK_BT_KCHUNK", "2")
+    from eigenkernel_tpu.solvers.api import solve
+    rng = np.random.default_rng(11)
+    n = 96
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    p = solve(a, solver="eigensx", block_size=8)
+    w_ref = np.linalg.eigvalsh(a)
+    assert np.abs(np.asarray(p.values) - w_ref).max() < 1e-10
+    v = np.asarray(p.vectors)
+    r = a @ v - v * np.asarray(p.values)[None, :]
+    assert np.abs(r).max() / np.linalg.norm(a) < 1e-12
+
+
 def test_blocked_two_stage_pipeline(monkeypatch):
     # end-to-end general_elpa2 with the blocked back-transform default
     monkeypatch.setenv("EK_BACKTRANSFORM", "blocked")

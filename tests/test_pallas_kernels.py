@@ -198,6 +198,7 @@ def test_pallas_chase_aligned_covers_bitexact(monkeypatch):
     A = rng.standard_normal((n, n)).astype(np.float32)
     A = (A + A.T) / 2
     br = to_band(jnp.asarray(A), bw=bw)
+    monkeypatch.setenv("EK_PALLAS_CHASE_ALIGN", "0")  # lane IO reference
     ref = band_to_tridiag_pallas(br.band, bw, interpret=True)
     monkeypatch.setenv("EK_PALLAS_CHASE_ALIGN", "1")
     got = band_to_tridiag_pallas(br.band, bw, interpret=True)

@@ -403,27 +403,58 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
     embed = jax.vmap(lambda hd: _wy_embed(hd, g, b, L, emb_ok))
     eye = jnp.eye(g, dtype=dtype)
 
-    def step(tau, zp):
-        hv = lax.dynamic_slice(HVv, (0, tau, 0),
-                               (nG, 1, g * b)).reshape(nG, g, b)
-        ht = lax.dynamic_slice(HTv, (0, tau, 0), (nG, 1, g))[:, 0, :]
-        Y = embed(hv)                                     # (nG, L, g)
-        gram = jnp.einsum("nlg,nlh->ngh", Y, Y)
-        tau_safe = jnp.where(ht == 0, 1.0, ht)
-        M = jnp.tril(gram, -1) + eye[None] * (1.0 / tau_safe)[:, :, None]
-        base = base0 + tau * b
-        zw = lax.dynamic_slice(zp, (base, 0), (nG * S, k)).reshape(
-            nG, S, k)
-        zwin = zw[:, :L, :]
-        w1 = jnp.einsum("nlg,nlk->ngk", Y, zwin)
-        w2 = lax.linalg.triangular_solve(M, w1, left_side=True,
-                                         lower=True)
-        zwin = zwin - jnp.einsum("nlg,ngk->nlk", Y, w2)
-        zw = jnp.concatenate([zwin, zw[:, L:, :]], axis=1)
-        return lax.dynamic_update_slice(zp, zw.reshape(nG * S, k),
-                                        (base, 0))
+    def make_step(m):
+        eye_m = jnp.broadcast_to(eye, (m, g, g))
 
-    zp = lax.fori_loop(0, Tp - 1, step, zp)
+        def step(tau, zp):
+            # active lanes are [max(0, nG-1-tau), nG-1-max(0, tau-T+1)];
+            # anchor an m-lane cover at the (clamped) lower bound —
+            # m >= active count by bucket construction
+            l0 = jnp.minimum(jnp.maximum(0, nG - 1 - tau), nG - m)
+            hv = lax.dynamic_slice(HVv, (l0, tau, 0),
+                                   (m, 1, g * b)).reshape(m, g, b)
+            ht = lax.dynamic_slice(HTv, (l0, tau, 0), (m, 1, g))[:, 0, :]
+            Y = embed(hv)                                     # (m, L, g)
+            gram = jnp.einsum("nlg,nlh->ngh", Y, Y)
+            tau_safe = jnp.where(ht == 0, 1.0, ht)
+            M = jnp.tril(gram, -1) \
+                + eye[None] * (1.0 / tau_safe)[:, :, None]
+            # invert the small (g, g) factor against I and apply by
+            # GEMM: a triangular solve against the (g, k)-wide RHS is
+            # sequential substitution on TPU and dominated the step
+            # (measured 4.7 s vs 1.9 s blocked at 8192 before this)
+            minv = lax.linalg.triangular_solve(M, eye_m, left_side=True,
+                                               lower=True)
+            base = base0 + tau * b + l0 * S
+            zw = lax.dynamic_slice(zp, (base, 0), (m * S, k)).reshape(
+                m, S, k)
+            zwin = zw[:, :L, :]
+            w1 = jnp.einsum("nlg,nlk->ngk", Y, zwin)
+            w2 = jnp.einsum("ngh,nhk->ngk", minv, w1)
+            zwin = zwin - jnp.einsum("nlg,ngk->nlk", Y, w2)
+            zw = jnp.concatenate([zwin, zw[:, L:, :]], axis=1)
+            return lax.dynamic_update_slice(zp, zw.reshape(m * S, k),
+                                            (base, 0))
+
+        return step
+
+    # pow-2 lane buckets: the ramps (few active lanes at early/late tau)
+    # run with proportionally small covers instead of the full nG*S rows
+    # — active-count traffic is the floor and the full cover pays ~2x it
+    # when T ~= nG.  Bucket sizes are static per contiguous tau segment.
+    def a_cnt(tau):
+        return min(tau + 1, T, nG, Tp - 1 - tau)
+
+    segs = []                     # (tau_start, tau_end, m)
+    for tau in range(Tp - 1):
+        m = 1 << max(0, (a_cnt(tau) - 1).bit_length())
+        m = min(m, nG)
+        if segs and segs[-1][2] == m:
+            segs[-1][1] = tau + 1
+        else:
+            segs.append([tau, tau + 1, m])
+    for t0, t1, m in segs:
+        zp = lax.fori_loop(t0, t1, make_step(m), zp)
     return zp[top:top + n]
 
 

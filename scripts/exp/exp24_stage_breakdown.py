@@ -16,6 +16,7 @@ from eigenkernel_tpu.solvers.pipelines import _j_tridiag_eigh
 
 n = int(os.environ.get("N", "8192"))
 bw = int(os.environ.get("BW", "32"))
+n_vec = int(os.environ.get("NVEC", "0")) or n   # <n = selecting path
 rng = np.random.default_rng(0)
 a = rng.standard_normal((n, n)).astype(np.float32)
 a = (a + a.T) / 2
@@ -28,7 +29,7 @@ def sync(x):
 
 
 for it in range(2):
-    out = {"iter": it, "n": n, "bw": bw}
+    out = {"iter": it, "n": n, "bw": bw, "n_vec": n_vec}
     with jax.default_matmul_precision("highest"):
         t0 = time.time()
         band_res = _j_to_band(ad, bw, None)
@@ -42,7 +43,7 @@ for it in range(2):
 
         band_res = band_res._replace(band=None)
         t0 = time.time()
-        w, z = _j_tridiag_eigh(chase.d, chase.e, n, None)
+        w, z = _j_tridiag_eigh(chase.d, chase.e, n_vec, None)
         sync(w)
         out["eigh"] = round(time.time() - t0, 3)
 

@@ -403,6 +403,8 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
     embed = jax.vmap(lambda hd: _wy_embed(hd, g, b, L, emb_ok))
     eye = jnp.eye(g, dtype=dtype)
 
+    eye_s = jnp.eye(S, dtype=dtype)
+
     def make_step(m):
         eye_m = jnp.broadcast_to(eye, (m, g, g))
 
@@ -425,14 +427,21 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
             # (measured 4.7 s vs 1.9 s blocked at 8192 before this)
             minv = lax.linalg.triangular_solve(M, eye_m, left_side=True,
                                                lower=True)
+            # build the full (S, S) window transform P = I - Y Minv Y^T
+            # (padded to the cover stride) and apply it as ONE batched
+            # GEMM: three (m, L~63, g=32)-shaped einsums against the
+            # k-wide cover run the MXU at ~12% tile fill (measured
+            # 3.7 s at 8192/bw32); the (S, S) build is O(m L^2 g) —
+            # trivial — and the single (m,S,S)@(m,S,k) apply packs
+            # 2x2 larger tiles
+            ym = jnp.einsum("nlg,ngh->nlh", Y, minv)
+            p_ll = jnp.einsum("nlh,nmh->nlm", ym, Y)        # (m, L, L)
+            P = eye_s[None] - jnp.pad(
+                p_ll, ((0, 0), (0, S - L), (0, S - L)))
             base = base0 + tau * b + l0 * S
             zw = lax.dynamic_slice(zp, (base, 0), (m * S, k)).reshape(
                 m, S, k)
-            zwin = zw[:, :L, :]
-            w1 = jnp.einsum("nlg,nlk->ngk", Y, zwin)
-            w2 = jnp.einsum("ngh,nhk->ngk", minv, w1)
-            zwin = zwin - jnp.einsum("nlg,ngk->nlk", Y, w2)
-            zw = jnp.concatenate([zwin, zw[:, L:, :]], axis=1)
+            zw = jnp.einsum("nst,ntk->nsk", P, zw)
             return lax.dynamic_update_slice(zp, zw.reshape(m * S, k),
                                             (base, 0))
 

@@ -53,7 +53,7 @@ for it in range(2):
         sync(zz)
         out["back_transform"] = round(time.time() - t0, 3)
     out["total"] = round(sum(v for k, v in out.items()
-                             if k not in ("iter", "n", "bw")), 3)
+                             if k not in ("iter", "n", "bw", "n_vec")), 3)
     print(json.dumps(out), flush=True)
 
 # residual spot check on a few columns

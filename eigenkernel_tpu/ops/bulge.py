@@ -392,9 +392,7 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
     # c0-g+2+t*b (as in the blocked path) = base(tau) + l*S - top
     top = max(0, (nG - 1) * S + g - (nsweeps + 1)) + 8
     base0 = nsweeps + 1 + top - g - (nG - 1) * S         # base(tau=0)
-    rows_tot = base0 + (Tp - 2) * b + nG * S + 8
-    zp = jnp.zeros((max(rows_tot, top + n), k), dtype)
-    zp = lax.dynamic_update_slice(zp, z, (top, 0))
+    rows_tot = max(base0 + (Tp - 2) * b + nG * S + 8, top + n)
 
     r_arr = jnp.arange(L)
     j_arr = jnp.arange(g)
@@ -439,10 +437,11 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
             P = eye_s[None] - jnp.pad(
                 p_ll, ((0, 0), (0, S - L), (0, S - L)))
             base = base0 + tau * b + l0 * S
-            zw = lax.dynamic_slice(zp, (base, 0), (m * S, k)).reshape(
-                m, S, k)
+            kc_w = zp.shape[1]
+            zw = lax.dynamic_slice(zp, (base, 0), (m * S, kc_w)).reshape(
+                m, S, kc_w)
             zw = jnp.einsum("nst,ntk->nsk", P, zw)
-            return lax.dynamic_update_slice(zp, zw.reshape(m * S, k),
+            return lax.dynamic_update_slice(zp, zw.reshape(m * S, kc_w),
                                             (base, 0))
 
         return step
@@ -462,9 +461,26 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
             segs[-1][1] = tau + 1
         else:
             segs.append([tau, tau + 1, m])
-    for t0, t1, m in segs:
-        zp = lax.fori_loop(t0, t1, make_step(m), zp)
-    return zp[top:top + n]
+
+    def apply_cols(zc):
+        zp = jnp.zeros((rows_tot, zc.shape[1]), dtype)
+        zp = lax.dynamic_update_slice(zp, zc, (top, 0))
+        for t0, t1, m in segs:
+            zp = lax.fori_loop(t0, t1, make_step(m), zp)
+        return zp[top:top + n]
+
+    # column chunks bound the padded-z (+ cover temporaries) working set
+    # to ~1 GB each — needed for HBM headroom at n=16384 full spectrum
+    # (the reflector stores above are built ONCE, outside the loop)
+    import os
+    kc = int(os.environ.get("EK_BT_KCHUNK", "0")) or \
+        max(1, min(k, (rows_tot * k * z.dtype.itemsize) // 2 ** 30))
+    while k % kc:
+        kc -= 1
+    if kc <= 1:
+        return apply_cols(z)
+    return jnp.concatenate([apply_cols(zc)
+                            for zc in jnp.split(z, kc, axis=1)], axis=1)
 
 
 def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):

@@ -247,22 +247,40 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         sn = t * c
 
         def rot_rows(m):
-            core = m[lo:hi, :].reshape(npair, 2, k)
-            mj, mj1 = core[:, 0, :], core[:, 1, :]
-            new = jnp.stack(
-                [c[:, None] * mj - sn[:, None] * mj1,
-                 sn[:, None] * mj + c[:, None] * mj1], axis=1)
-            return jnp.concatenate(
-                [m[:lo, :], new.reshape(2 * npair, k), m[hi:, :]], axis=0)
+            # TPU tiles pad the last TWO dims to (8, 128): a
+            # (npair, 2, kk) pair view pads 2->8 sublanes (4x transient)
+            # and a (kk, npair, 2) column-pair view pads 2->128 lanes —
+            # 64x, 64 GB at k=16384, a compile-time HBM failure.  So:
+            # columns rotate as transposed row rotations, and the pair
+            # axis runs in lax.map chunks that bound the 4x transient.
+            kk = m.shape[1]
+            core = m[lo:hi, :]                        # (2*npair, kk)
+            step_p = max(1, min(npair, (1 << 21) // max(kk, 1)))
+            nch = -(-npair // step_p)
+            padp = nch * step_p - npair
+            cch = jnp.concatenate([c, jnp.ones((padp,), dtype)]) \
+                .reshape(nch, step_p)
+            sch = jnp.concatenate([sn, jnp.zeros((padp,), dtype)]) \
+                .reshape(nch, step_p)
+            if padp:
+                core = jnp.concatenate(
+                    [core, jnp.zeros((2 * padp, kk), dtype)], axis=0)
+
+            def one(args):
+                blk, cj, sj = args
+                pair = blk.reshape(step_p, 2, kk)
+                mj, mj1 = pair[:, 0, :], pair[:, 1, :]
+                new = jnp.stack([cj[:, None] * mj - sj[:, None] * mj1,
+                                 sj[:, None] * mj + cj[:, None] * mj1],
+                                axis=1)
+                return new.reshape(2 * step_p, kk)
+
+            rot = lax.map(one, (core.reshape(nch, 2 * step_p, kk),
+                                cch, sch)).reshape(-1, kk)[: 2 * npair]
+            return jnp.concatenate([m[:lo, :], rot, m[hi:, :]], axis=0)
 
         def rot_cols(m):
-            core = m[:, lo:hi].reshape(k, npair, 2)
-            mj, mj1 = core[:, :, 0], core[:, :, 1]
-            new = jnp.stack(
-                [c[None, :] * mj - sn[None, :] * mj1,
-                 sn[None, :] * mj + c[None, :] * mj1], axis=2)
-            return jnp.concatenate(
-                [m[:, :lo], new.reshape(k, 2 * npair), m[:, hi:]], axis=1)
+            return rot_rows(m.T).T
 
         s = rot_cols(rot_rows(s))
         j_acc = rot_cols(j_acc)

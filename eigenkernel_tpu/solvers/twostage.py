@@ -56,18 +56,9 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
             apply_chase_q_pallas)
         z = apply_chase_q_pallas(chase_res.HV, chase_res.HT, z, bw=bw)
     elif method == "wavefront":
-        # column chunks bound the wavefront's padded-z working set
-        # (~4n rows) — needed for HBM headroom at n=16384 full spectrum
-        kc = int(os.environ.get("EK_BT_KCHUNK", "0")) or \
-            (2 if z.shape[0] * z.shape[1] > 2 ** 27 else 1)
-        if kc > 1 and z.shape[1] % kc == 0:
-            z = jax.numpy.concatenate(
-                [bulgelib.apply_chase_q_wavefront(chase_res, zc, bw=bw,
-                                                  group=g)
-                 for zc in jax.numpy.split(z, kc, axis=1)], axis=1)
-        else:
-            z = bulgelib.apply_chase_q_wavefront(chase_res, z, bw=bw,
-                                                 group=g)
+        # (column chunking for HBM headroom lives inside the op:
+        # EK_BT_KCHUNK overrides the ~1 GB auto target)
+        z = bulgelib.apply_chase_q_wavefront(chase_res, z, bw=bw, group=g)
     elif method == "blocked":
         z = bulgelib.apply_chase_q_blocked(chase_res, z, bw=bw, group=g)
     else:

@@ -234,14 +234,13 @@ def _wy_embed(hv_desc: jax.Array, g: int, b: int, L: int,
     """
     dtype = hv_desc.dtype
     flat = hv_desc.reshape(-1)
+    n_pl = -(-L // (b + 1))          # shifted reshape planes (any g)
     fp = jnp.concatenate([jnp.zeros((g - 1,), dtype), flat,
-                          jnp.zeros((2 * (b + 1) + g,), dtype)])
-    r1 = fp[: g * (b + 1)].reshape(g, b + 1)
-    if L <= b + 1:
-        yt = r1[:, :L]
-    else:
-        r2 = fp[b + 1: b + 1 + g * (b + 1)].reshape(g, b + 1)
-        yt = jnp.concatenate([r1, r2[:, : L - (b + 1)]], axis=1)
+                          jnp.zeros(((n_pl + 1) * (b + 1) + g,), dtype)])
+    planes = [fp[p * (b + 1): (p + g) * (b + 1)].reshape(g, b + 1)
+              for p in range(n_pl)]
+    yt = planes[0] if n_pl == 1 else jnp.concatenate(planes, axis=1)
+    yt = yt[:, :L]
     return jnp.where(emb_ok, yt.T, 0.0)
 
 
@@ -362,31 +361,61 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
     if n <= 2 or bw <= 1 or res.HV.shape[0] < n:
         return z
     if group <= 0:
-        group = b if jax.default_backend() == "tpu" else 32
-    g = min(group, b)
+        group = 4 * b if jax.default_backend() == "tpu" else 32
+    # UNLIKE the blocked path, g is NOT clamped to b: for any g, (a)
+    # same-tau windows stay disjoint (lane stride S = L+1 regardless),
+    # and (b) for G' > G every overlapping pair satisfies
+    # |dg - sb| < b+g-1 (d=G'-G, s=t'-t) => s + d > (g/b)(d-1) + d - 1
+    # + 1/b > 0, i.e. tau' > tau — and between groups the original
+    # schedule is G-major (group G's sweeps are all newer), so order is
+    # preserved; within a window the WY factor is exact for any overlap
+    # pattern.  Bigger g cuts both traffic (~1/g + 1/b per z element)
+    # and steps (T + n/g).
     nsweeps = n - 2
+    g = min(group, nsweeps)
     nG = -(-nsweeps // g)
     L = b + g - 1
     S = b + g
     Tp = T + nG
     dtype = z.dtype
 
-    # group-major reversed store: lane l = nG-1-G, group G = sweeps
-    # [c0-g+1 .. c0] newest-first (the blocked path's hv_desc order)
+    # group-major store: X[G, t] = the (g, b) reflector block of group G
+    # (sweeps [c0-g+1 .. c0], c0 = nsweeps-1-G*g, NEWEST sweep first —
+    # the blocked path's hv_desc order) at band position t.  Built with
+    # g*b = 32*32+ as the MINOR dim throughout: any (…, g, b) or
+    # (…, T, b) intermediate lane-pads b=32 -> 128 on TPU (4x — multi-GB
+    # at n=16384), so the per-group transpose runs in a lax.map whose
+    # (g, T, b) transient is a few MB, and no full-size reverse or
+    # swapaxes of the b-minor store is ever materialized.
     padG = nG * g - nsweeps
-    HVr = jnp.concatenate(
-        [res.HV[:nsweeps][::-1], jnp.zeros((padG, T, b), dtype)], axis=0)
-    HTr = jnp.concatenate(
-        [res.HT[:nsweeps][::-1], jnp.zeros((padG, T), dtype)], axis=0)
-    X = HVr.reshape(nG, g, T, b).swapaxes(1, 2)          # (nG, T, g, b)
-    X = jnp.concatenate([X, jnp.zeros((nG, nG, g, b), dtype)], axis=1)
-    Xt = HTr.reshape(nG, g, T).swapaxes(1, 2)
+
+    def _build_group(Gi):                     # Gi in [0, nG-2]: no pad
+        start = nsweeps - (Gi + 1) * g
+        hv = lax.dynamic_slice(res.HV, (start, 0, 0), (g, T, b))[::-1]
+        ht = lax.dynamic_slice(res.HT, (start, 0), (g, T))[::-1]
+        return (hv.swapaxes(0, 1).reshape(T, g * b), ht.swapaxes(0, 1))
+
+    lastv = jnp.concatenate(
+        [jnp.zeros((padG, T, b), dtype), res.HV[: g - padG]], axis=0)[::-1]
+    lastt = jnp.concatenate(
+        [jnp.zeros((padG, T), dtype), res.HT[: g - padG]], axis=0)[::-1]
+    lastv = lastv.swapaxes(0, 1).reshape(1, T, g * b)
+    lastt = lastt.swapaxes(0, 1)[None]
+    if nG > 1:
+        Xm, Xtm = lax.map(_build_group, jnp.arange(nG - 1))
+        X = jnp.concatenate([Xm, lastv], axis=0)
+        Xt = jnp.concatenate([Xtm, lastt], axis=0)
+    else:
+        X, Xt = lastv, lastt
+    # t axis zero-padded to Tp = T + nG, then the anti-diagonal
+    # X[G, tau-G] is the static flat-stride view flat[G*(Tp-1) + tau]
+    # (flat row G*Tp + t holds X[G, t]; out-of-range t reads the padding)
+    X = jnp.concatenate([X, jnp.zeros((nG, nG, g * b), dtype)], axis=1)
     Xt = jnp.concatenate([Xt, jnp.zeros((nG, nG, g), dtype)], axis=1)
-    # anti-diagonal flat-stride view + lane flip (ascending rows)
     HVv = X.reshape(nG * Tp, g * b)[: nG * (Tp - 1)].reshape(
-        nG, Tp - 1, g * b)[::-1]
+        nG, Tp - 1, g * b)
     HTv = Xt.reshape(nG * Tp, g)[: nG * (Tp - 1)].reshape(
-        nG, Tp - 1, g)[::-1]
+        nG, Tp - 1, g)
 
     # z row frame: z[i] at zp row top+i; window (G, t) starts at z row
     # c0-g+2+t*b (as in the blocked path) = base(tau) + l*S - top
@@ -409,11 +438,14 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
         def step(tau, zp):
             # active lanes are [max(0, nG-1-tau), nG-1-max(0, tau-T+1)];
             # anchor an m-lane cover at the (clamped) lower bound —
-            # m >= active count by bucket construction
+            # m >= active count by bucket construction.  Lane l holds
+            # group G = nG-1-l, so the reflector slice starts at
+            # G = nG-l0-m and is flipped (an m-sized transient).
             l0 = jnp.minimum(jnp.maximum(0, nG - 1 - tau), nG - m)
-            hv = lax.dynamic_slice(HVv, (l0, tau, 0),
-                                   (m, 1, g * b)).reshape(m, g, b)
-            ht = lax.dynamic_slice(HTv, (l0, tau, 0), (m, 1, g))[:, 0, :]
+            hv = lax.dynamic_slice(HVv, (nG - l0 - m, tau, 0),
+                                   (m, 1, g * b))[::-1].reshape(m, g, b)
+            ht = lax.dynamic_slice(HTv, (nG - l0 - m, tau, 0),
+                                   (m, 1, g))[::-1][:, 0, :]
             Y = embed(hv)                                     # (m, L, g)
             gram = jnp.einsum("nlg,nlh->ngh", Y, Y)
             tau_safe = jnp.where(ht == 0, 1.0, ht)
@@ -471,16 +503,18 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
 
     # column chunks bound the padded-z (+ cover temporaries) working set
     # to ~1 GB each — needed for HBM headroom at n=16384 full spectrum
-    # (the reflector stores above are built ONCE, outside the loop)
+    # (the reflector stores above are built ONCE, outside the loop).
+    # array_split semantics (at most two distinct widths) so a prime k
+    # still chunks instead of collapsing to one full-width pass.
     import os
     kc = int(os.environ.get("EK_BT_KCHUNK", "0")) or \
-        max(1, min(k, (rows_tot * k * z.dtype.itemsize) // 2 ** 30))
-    while k % kc:
-        kc -= 1
+        max(1, min(k, int(rows_tot * k * z.dtype.itemsize) // 2 ** 30))
     if kc <= 1:
         return apply_cols(z)
-    return jnp.concatenate([apply_cols(zc)
-                            for zc in jnp.split(z, kc, axis=1)], axis=1)
+    bounds = [k * i // kc for i in range(kc + 1)]
+    return jnp.concatenate(
+        [apply_cols(z[:, bounds[i]:bounds[i + 1]]) for i in range(kc)],
+        axis=1)
 
 
 def _chunk_sweep_body(wb, c, n, b, T, W, off, pad, dtype):

@@ -424,7 +424,8 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # validated lane-group cap is lower), so align at n<=8192, lane above.
     align_env = os.environ.get("EK_PALLAS_CHASE_ALIGN", "")
     align_on = (align_env not in ("", "0")) if align_env != "" \
-        else (n <= 8192)
+        else (n <= 8192
+              and os.environ.get("EK_PALLAS_CHASE_IO", "") == "")
     if align_on:
         align_c = -(-(2 * b + 8) // 8)
         rows_tot = -(-(pad + n + 8 * align_c) // 8) * 8

@@ -24,9 +24,13 @@ def test_blocked_matches_unblocked(n, bw, g):
 
 
 @pytest.mark.parametrize("n,bw,g", [(96, 8, 4), (130, 16, 16), (64, 4, 3),
-                                    (157, 8, 5)])
+                                    (157, 8, 5), (96, 8, 32), (192, 8, 40),
+                                    (256, 8, 94)])
 def test_wavefront_matches_unblocked(n, bw, g):
-    # group-wavefront batched form: T+nG covering-slice steps, exact
+    # group-wavefront batched form: T+nG covering-slice steps, exact.
+    # Unlike the blocked path, g > bw is VALID here (order-preservation
+    # proof in the op docstring) — the g=32/40/94 cases exercise it,
+    # including the multi-plane _wy_embed.
     rng = np.random.default_rng(n + bw)
     a = rng.standard_normal((n, n))
     a = a + a.T

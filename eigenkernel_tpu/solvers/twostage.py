@@ -130,15 +130,19 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 else fl.bisect_invit(n, n_vec))
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        # WY-grouped sweeps (ELPA2-style, hardware-validated).  Single-
-        # device TPU runs them on the group WAVEFRONT (T+nG batched
-        # covering-slice steps instead of nG*T sequential windows — the
-        # blocked loop is fixed-cost-bound at ~24 us/step, 1.92 s vs a
-        # 0.34 s HBM floor at 8192/bw32).  Meshes keep the sharded
-        # blocked schedule; the (hardware-validated, bw%128==0 only)
-        # Pallas kernel stays explicit opt-in.
+        # WY-grouped sweeps (ELPA2-style, hardware-validated), two
+        # schedules (measured, evidence/BT_WAVEFRONT_r3.md): the group
+        # WAVEFRONT collapses nG*T sequential windows (~24 us each) to
+        # T+nG batched covering-slice steps — 9x faster when k is small
+        # (select-500/16k BT: 0.68 s vs ~6 s) — but at full spectrum
+        # each batched step materializes ~4x the cover in XLA, so the
+        # blocked loop stays ahead (8192: 1.91 vs 2.36 s).  Meshes keep
+        # the sharded blocked schedule; the (bw%128==0 only) Pallas
+        # kernel stays explicit opt-in.
+        selecting = 2 * z.shape[1] <= z.shape[0]
         bt_method = "wavefront" if (jax.default_backend() == "tpu"
-                                    and ctx.mesh is None) else "blocked"
+                                    and ctx.mesh is None and selecting) \
+            else "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,
              flops=fl.back_transform_two_stage(n, n_vec))

@@ -323,6 +323,58 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
     return zp[top:top + n]
 
 
+def wavefront_stores(res: ChaseResult, n: int, b: int, g: int):
+    """Anti-diagonal wavefront reflector stores.
+
+    Returns ``(HVv, HTv)`` with ``HVv[G, tau]`` = the (g*b,)-flat
+    reflector block of group ``G`` (sweeps ``[c0-g+1 .. c0]``,
+    ``c0 = nsweeps-1-G*g``, NEWEST sweep first — the blocked path's
+    hv_desc order) at band position ``t = tau - G`` (zeros when t is
+    out of [0, T)), and ``HTv[G, tau]`` the matching (g,) taus.
+
+    Built with ``g*b`` as the MINOR dim throughout: any (…, g, b) or
+    (…, T, b) intermediate lane-pads b=32 -> 128 on TPU (4x — multi-GB
+    at n=16384), so the per-group transpose runs in a lax.map whose
+    (g, T, b) transient is a few MB, and no full-size reverse or
+    swapaxes of the b-minor store is ever materialized.  The
+    anti-diagonal ``X[G, tau-G]`` is the static flat-stride view
+    ``flat[G*(Tp-1) + tau]`` of the t-axis-zero-padded store (flat row
+    ``G*Tp + t`` holds X[G, t]; out-of-range t reads the padding).
+    """
+    T = res.HV.shape[1]
+    nsweeps = n - 2
+    nG = -(-nsweeps // g)
+    Tp = T + nG
+    dtype = res.HV.dtype
+    padG = nG * g - nsweeps
+
+    def _build_group(Gi):                     # Gi in [0, nG-2]: no pad
+        start = nsweeps - (Gi + 1) * g
+        hv = lax.dynamic_slice(res.HV, (start, 0, 0), (g, T, b))[::-1]
+        ht = lax.dynamic_slice(res.HT, (start, 0), (g, T))[::-1]
+        return (hv.swapaxes(0, 1).reshape(T, g * b), ht.swapaxes(0, 1))
+
+    lastv = jnp.concatenate(
+        [jnp.zeros((padG, T, b), dtype), res.HV[: g - padG]], axis=0)[::-1]
+    lastt = jnp.concatenate(
+        [jnp.zeros((padG, T), dtype), res.HT[: g - padG]], axis=0)[::-1]
+    lastv = lastv.swapaxes(0, 1).reshape(1, T, g * b)
+    lastt = lastt.swapaxes(0, 1)[None]
+    if nG > 1:
+        Xm, Xtm = lax.map(_build_group, jnp.arange(nG - 1))
+        X = jnp.concatenate([Xm, lastv], axis=0)
+        Xt = jnp.concatenate([Xtm, lastt], axis=0)
+    else:
+        X, Xt = lastv, lastt
+    X = jnp.concatenate([X, jnp.zeros((nG, nG, g * b), dtype)], axis=1)
+    Xt = jnp.concatenate([Xt, jnp.zeros((nG, nG, g), dtype)], axis=1)
+    HVv = X.reshape(nG * Tp, g * b)[: nG * (Tp - 1)].reshape(
+        nG, Tp - 1, g * b)
+    HTv = Xt.reshape(nG * Tp, g)[: nG * (Tp - 1)].reshape(
+        nG, Tp - 1, g)
+    return HVv, HTv
+
+
 def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
                             group: int = 0,
                             mesh: Optional[Mesh] = None) -> jax.Array:
@@ -378,44 +430,7 @@ def apply_chase_q_wavefront(res: ChaseResult, z: jax.Array, bw: int,
     S = b + g
     Tp = T + nG
     dtype = z.dtype
-
-    # group-major store: X[G, t] = the (g, b) reflector block of group G
-    # (sweeps [c0-g+1 .. c0], c0 = nsweeps-1-G*g, NEWEST sweep first —
-    # the blocked path's hv_desc order) at band position t.  Built with
-    # g*b = 32*32+ as the MINOR dim throughout: any (…, g, b) or
-    # (…, T, b) intermediate lane-pads b=32 -> 128 on TPU (4x — multi-GB
-    # at n=16384), so the per-group transpose runs in a lax.map whose
-    # (g, T, b) transient is a few MB, and no full-size reverse or
-    # swapaxes of the b-minor store is ever materialized.
-    padG = nG * g - nsweeps
-
-    def _build_group(Gi):                     # Gi in [0, nG-2]: no pad
-        start = nsweeps - (Gi + 1) * g
-        hv = lax.dynamic_slice(res.HV, (start, 0, 0), (g, T, b))[::-1]
-        ht = lax.dynamic_slice(res.HT, (start, 0), (g, T))[::-1]
-        return (hv.swapaxes(0, 1).reshape(T, g * b), ht.swapaxes(0, 1))
-
-    lastv = jnp.concatenate(
-        [jnp.zeros((padG, T, b), dtype), res.HV[: g - padG]], axis=0)[::-1]
-    lastt = jnp.concatenate(
-        [jnp.zeros((padG, T), dtype), res.HT[: g - padG]], axis=0)[::-1]
-    lastv = lastv.swapaxes(0, 1).reshape(1, T, g * b)
-    lastt = lastt.swapaxes(0, 1)[None]
-    if nG > 1:
-        Xm, Xtm = lax.map(_build_group, jnp.arange(nG - 1))
-        X = jnp.concatenate([Xm, lastv], axis=0)
-        Xt = jnp.concatenate([Xtm, lastt], axis=0)
-    else:
-        X, Xt = lastv, lastt
-    # t axis zero-padded to Tp = T + nG, then the anti-diagonal
-    # X[G, tau-G] is the static flat-stride view flat[G*(Tp-1) + tau]
-    # (flat row G*Tp + t holds X[G, t]; out-of-range t reads the padding)
-    X = jnp.concatenate([X, jnp.zeros((nG, nG, g * b), dtype)], axis=1)
-    Xt = jnp.concatenate([Xt, jnp.zeros((nG, nG, g), dtype)], axis=1)
-    HVv = X.reshape(nG * Tp, g * b)[: nG * (Tp - 1)].reshape(
-        nG, Tp - 1, g * b)
-    HTv = Xt.reshape(nG * Tp, g)[: nG * (Tp - 1)].reshape(
-        nG, Tp - 1, g)
+    HVv, HTv = wavefront_stores(res, n, b, g)
 
     # z row frame: z[i] at zp row top+i; window (G, t) starts at z row
     # c0-g+2+t*b (as in the blocked path) = base(tau) + l*S - top

@@ -59,6 +59,10 @@ def _j_back_transform_two_stage(band_res, chase_res, z, bw, mesh, method):
         # (column chunking for HBM headroom lives inside the op:
         # EK_BT_KCHUNK overrides the ~1 GB auto target)
         z = bulgelib.apply_chase_q_wavefront(chase_res, z, bw=bw, group=g)
+    elif method == "wf_pallas":
+        from eigenkernel_tpu.ops.pallas_wf_bt import (
+            apply_chase_q_wavefront_pallas)
+        z = apply_chase_q_wavefront_pallas(chase_res, z, bw=bw, group=g)
     elif method == "blocked":
         z = bulgelib.apply_chase_q_blocked(chase_res, z, bw=bw, group=g)
     else:
@@ -130,19 +134,17 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
                 else fl.bisect_invit(n, n_vec))
     bt_method = os.environ.get("EK_BACKTRANSFORM", "auto")
     if bt_method == "auto":
-        # WY-grouped sweeps (ELPA2-style, hardware-validated), two
-        # schedules (measured, evidence/BT_WAVEFRONT_r3.md): the group
+        # WY-grouped sweeps (ELPA2-style, hardware-validated): the group
         # WAVEFRONT collapses nG*T sequential windows (~24 us each) to
-        # T+nG batched covering-slice steps — 9x faster when k is small
-        # (select-500/16k BT: 0.68 s vs ~6 s) — but at full spectrum
-        # each batched step materializes ~4x the cover in XLA, so the
-        # blocked loop stays ahead (8192: 1.91 vs 2.36 s).  Meshes keep
-        # the sharded blocked schedule; the (bw%128==0 only) Pallas
-        # kernel stays explicit opt-in.
-        selecting = 2 * z.shape[1] <= z.shape[0]
+        # T+nG batched covering-slice steps, and with g > bw (valid on
+        # this schedule — op docstring) it beats the blocked loop at
+        # full spectrum too (8192 f32: g=128 1.55 s vs blocked 1.91 s;
+        # select-500/16k BT: 0.68 s vs ~6 s; evidence/
+        # BT_WAVEFRONT_r3.md).  Meshes keep the sharded blocked
+        # schedule; the VMEM-tile pallas kernel (wf_pallas) is opt-in
+        # until hardware-validated.
         bt_method = "wavefront" if (jax.default_backend() == "tpu"
-                                    and ctx.mesh is None and selecting) \
-            else "blocked"
+                                    and ctx.mesh is None) else "blocked"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,
              flops=fl.back_transform_two_stage(n, n_vec))

@@ -43,6 +43,28 @@ def test_wavefront_matches_unblocked(n, bw, g):
     assert np.abs(z1 - z2).max() < 1e-13
 
 
+@pytest.mark.parametrize("n,bw,g", [(160, 32, 32), (224, 32, 64),
+                                    (130, 16, 32)])
+def test_wavefront_pallas_matches_unblocked(n, bw, g):
+    # VMEM-tile pallas kernel (interpret mode): per-lane decode via
+    # static lane slices + rolls, dynamic-row window loads, dead-lane
+    # clamping to the shared identity row
+    from eigenkernel_tpu.ops.pallas_wf_bt import (
+        apply_chase_q_wavefront_pallas)
+
+    rng = np.random.default_rng(n + bw)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = a + a.T
+    band = np.triu(np.tril(a, bw), -bw)
+    res = bulge.band_to_tridiag(jnp.asarray(band), bw=bw)
+    z = rng.standard_normal((n, 70)).astype(np.float32)
+    z1 = np.asarray(bulge.apply_chase_q(res, jnp.asarray(z), bw=bw))
+    z2 = np.asarray(apply_chase_q_wavefront_pallas(
+        res, jnp.asarray(z), bw=bw, group=g, interpret=True))
+    scale = max(np.abs(z1).max(), 1.0)
+    assert np.abs(z1 - z2).max() / scale < 5e-6
+
+
 def test_wavefront_two_stage_pipeline(monkeypatch):
     # end-to-end with the wavefront back-transform + column chunking
     monkeypatch.setenv("EK_BACKTRANSFORM", "wavefront")

@@ -123,6 +123,7 @@ _PEAKS = {
     "v6": 918e12,
     "v5p": 459e12,
     "v5e": 394e12,
+    "v5 lite": 394e12,  # 'TPU v5 lite' == v5e (394 TF bf16, 819 GB/s)
     "v5": 459e12,
     "v4": 275e12,
     "v3": 123e12,
@@ -136,7 +137,8 @@ _HBM_BW = {
     "v6": 1640e9,
     "v5p": 2765e9,
     "v5e": 819e9,
-    "v5": 819e9,     # 'TPU v5 lite'
+    "v5 lite": 819e9,  # 'TPU v5 lite' == v5e
+    "v5": 2765e9,    # bare 'v5' without p/e/lite: assume v5p
     "v4": 1228e9,
     "v3": 900e9,
     "v2": 700e9,

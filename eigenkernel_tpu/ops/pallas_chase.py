@@ -461,7 +461,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     # Mosaic "Invalid relayout" bug (replicated-singleton,
     # hardware-probed).  EK_PALLAS_CHASE_GROUP overrides the target.
     gtarget = int(os.environ.get("EK_PALLAS_CHASE_GROUP", "0")) or \
-        max(2, min(nW, (11 * 2 ** 20) // (10240 * b)))
+        max(2, min(nW, 34, (11 * 2 ** 20) // (10240 * b)))
     ngroups = max(1, -(-nW // gtarget))
     if ngroups > 1 and nW // ngroups < 2:
         ngroups = max(1, nW // 2)

@@ -78,7 +78,10 @@ def _wf_bt_kernel(hv_ref, mi_ref, zin_ref, zout_ref, y_s, m_s, *,
             ov = j * b
             seg = hvb[l0:l0 + cs, ov:ov + b]
             seg = jnp.pad(seg, ((0, 0), (0, 128 - b)))
-            rows_y.append(jnp.roll(seg, g - 1 - j, axis=1))
+            # shift==0 (j==g-1) must skip the roll: Mosaic lowers roll
+            # as two slices and rejects the zero-size one
+            sh = g - 1 - j
+            rows_y.append(jnp.roll(seg, sh, axis=1) if sh else seg)
             om = j * g
             mseg = mib[l0:l0 + cs, om:om + g]
             rows_m.append(jnp.pad(mseg, ((0, 0), (0, 128 - g))))
@@ -169,12 +172,25 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     nsweeps = n - 2
     g = group or int(os.environ.get("EK_BT_GROUP", "0")) or 64
     g = min(g, nsweeps)
+    nG = -(-nsweeps // g) if g else 0
+    S = b + g
+    isz = jnp.dtype(z.dtype).itemsize
+    # VMEM footprint of one grid program: two (nG*g, 128) decode
+    # scratches + in/out (rows_frame, _TK) z blocks + the streamed
+    # hv/mi blocks; reject before compile rather than fault (the
+    # Mosaic error would not fall back).
+    rows_est = n + 2 * (g + 8) + S + 16
+    vmem_bytes = (2 * nG * g * 128 + 2 * rows_est * _TK
+                  + 2 * nG * (g * b + g * g)) * isz
+    # v5e VMEM is 128 MB; leave headroom for Mosaic pipelining temps.
+    # The kernel raises the compiler's scoped-vmem ceiling to this
+    # budget (the default 16 MB rejects the z column tile at n>=8192).
+    vmem_budget = int(os.environ.get("EK_WF_BT_VMEM", str(100 * 2 ** 20)))
     if (n <= 2 or bw < 2 or res.HV.shape[0] < n or 128 % b != 0
-            or g not in (32, 64) or b + g - 1 > 128):
+            or g not in (32, 64) or b + g - 1 > 128
+            or vmem_bytes > vmem_budget):
         from eigenkernel_tpu.ops.bulge import apply_chase_q_wavefront
         return apply_chase_q_wavefront(res, z, bw, group=group)
-    nG = -(-nsweeps // g)
-    S = b + g
     Tp = T + nG
     dtype = z.dtype
 
@@ -208,7 +224,8 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
             pltpu.VMEM((nG * g, 128), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(hvt, mit, zp)
     return out[top:top + n, :k]

@@ -215,6 +215,11 @@ def _adjacent_jacobi(s: jax.Array, passes: int = 6):
         # gathers/scatters: 34x slow, and the (16384,16384) scatter
         # exceeded the 16 MB scoped-VMEM limit at compile time)
         npair = (k - parity) // 2
+        if npair == 0:
+            # k==2 parity-1 pass: no adjacent pair starts at index 1;
+            # building the slices below with hi < lo would be a trace
+            # error, so the pass is the identity.
+            return s, j_acc
         lo, hi = parity, parity + 2 * npair
         # diagonals via flat strided views (no gather)
         flat = s.reshape(-1)

@@ -55,6 +55,16 @@ class SolverContext:
     def tick(self, name: str, t0: float, out: Any,
              flops: Optional[float] = None) -> None:
         if self.log is not None:
+            # Dependent-scalar sync: on the tunneled TPU backend
+            # block_until_ready returns before the program drains, so
+            # stage times were misattributed to whichever stage fetched
+            # next (RESULTS_r3.md session 8; exp24 methodology).  A
+            # scalar computed FROM the output cannot be fetched before
+            # the producing program finishes, so this is the trusted
+            # stage barrier on every backend.
+            for leaf in jax.tree_util.tree_leaves(out):
+                if isinstance(leaf, jax.Array) and leaf.size:
+                    float(jnp.sum(jnp.ravel(leaf)[:1]))
             jax.block_until_ready(out)
             dt = time.time() - t0
             self.log.add_event(name, dt)

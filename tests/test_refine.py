@@ -45,6 +45,21 @@ def test_refine_degenerate(rng):
     assert np.abs(v.T @ v - np.eye(n)).max() < 1e-11
 
 
+def test_refine_two_vectors(sym_factory):
+    # regression: k==2 gives the parity-1 adjacent-Jacobi pass zero
+    # pairs; the gather-free slice rewrite must early-return instead of
+    # building an empty lax.slice (advisor r3 finding, refine.py:218)
+    n = 80
+    A = sym_factory(n)
+    w32, v32 = np.linalg.eigh(A.astype(np.float32))
+    vk = v32[:, :2]
+    w, v = refine_eigenpairs(jnp.asarray(A), jnp.asarray(vk))
+    w, v = np.array(w), np.array(v)
+    wref = np.linalg.eigvalsh(A)[:2]
+    assert np.abs(np.sort(w) - wref).max() < 1e-12
+    assert np.abs(v.T @ v - np.eye(2)).max() < 1e-11
+
+
 def test_solve_mixed_dtype(sym_factory, spd_factory):
     n = 96
     A, B = sym_factory(n), spd_factory(n)

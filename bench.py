@@ -1,23 +1,33 @@
 """Benchmark driver: one JSON line for the round harness.
 
-Measures time-to-solution of the standard symmetric EVP at M=EK_BENCH_N
-(default 4096) on the local chip with our staged pipeline, against XLA's
-built-in QDWH ``jnp.linalg.eigh`` on the same matrix/precision as the
-baseline — the strongest existing TPU eigensolver available to a user today
-(the reference itself publishes no numbers, BASELINE.md).
+Headline metric: time-to-solution of the standard symmetric EVP at
+M=EK_BENCH_N (default 4096, f32) on the local chip with our staged
+pipeline, against XLA's built-in QDWH ``jnp.linalg.eigh`` on the same
+matrix/precision — the strongest existing TPU eigensolver available to a
+user today (the reference itself publishes no numbers, BASELINE.md).
 
 vs_baseline = t_eigh / t_ours  (>1 means we beat XLA's eigh).
+
+One default run additionally measures and embeds (rec["extra"]):
+  * mixed precision at the headline M — the BASELINE.md residual bar
+    (<=1e-12) at f32-pipeline speed (Ozaki bf16-slice refinement GEMMs);
+  * the generalized EVP at M=4096 (BASELINE.json's metric);
+  * the full-spectrum M=16384 row (the scale point; XLA eigh cannot
+    compile there on this setup).
+EK_BENCH_QUICK=1 skips the extras; EK_BENCH_FULL=1 adds the selecting
+lowest-500/16k config.
 
 Implementation notes for this environment:
 * the staged path is used (each stage is its own cached-jit computation) —
   one fully-fused program hits pathological remote-compile times;
 * ``block_until_ready`` does not synchronize through the TPU tunnel, so
-  every timed region ends with a dependent scalar fetch;
+  every timed region ends with a dependent scalar fetch (SolverContext.tick
+  stage times use the same barrier, so stages={} is trusted);
 * the persistent compilation cache (.jax_cache) makes reruns fast.
 
-Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64|mixed — mixed runs
-the f32 pipeline + f64 Newton refinement and checks the residual at f64),
-EK_BENCH_SOLVER, EK_BENCH_BLOCK, EK_BENCH_NVEC, EK_BENCH_FULL, EK_BENCH_LOG.
+Env knobs: EK_BENCH_N, EK_BENCH_DTYPE (float32|float64|mixed),
+EK_BENCH_SOLVER, EK_BENCH_BLOCK, EK_BENCH_NVEC, EK_BENCH_QUICK,
+EK_BENCH_FULL, EK_BENCH_LOG.
 """
 
 import json
@@ -37,16 +47,56 @@ def _sync_scalar(x) -> float:
     return float(jnp.sum(x))
 
 
+def _sym(n: int, dtype: str, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, n))
+    return ((a + a.T) / 2).astype(dtype)
+
+
+def _spd(n: int, dtype: str, seed: int = 1) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    l = (rng.standard_normal((n, n)) * 0.1).astype(dtype)
+    return (l @ l.T + n * np.eye(n, dtype=dtype)).astype(dtype)
+
+
+def _measure(solve, ad, bd=None, *, repeats=3, log=None, **solve_kw):
+    """Warm-timed solve (min over repeats) + f64-checked quality."""
+    import jax
+    import jax.numpy as jnp
+
+    args = (ad,) if bd is None else (ad, bd)
+    t0 = time.time()
+    p = solve(*args, **solve_kw)
+    _sync_scalar(p.values)
+    compile_s = time.time() - t0
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        p = solve(*args, log=log if i == repeats - 1 else None, **solve_kw)
+        _sync_scalar(p.values + p.vectors[0, :])
+        times.append(time.time() - t0)
+
+    @jax.jit
+    def quality(w, v, ad, bd):
+        k = w.shape[0]
+        with jax.default_matmul_precision("highest"):
+            vv = v.astype(ad.dtype)
+            bv = vv if bd is None else bd @ vv
+            r = ad @ vv - bv * w[None, :].astype(ad.dtype)
+            return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
+                    jnp.max(jnp.abs(vv.T @ bv
+                                    - jnp.eye(k, dtype=ad.dtype))))
+
+    resid, orth = quality(p.values, p.vectors, ad, bd)
+    return p, min(times), compile_s, _sync_scalar(resid), _sync_scalar(orth)
+
+
 def main() -> None:
     n = int(os.environ.get("EK_BENCH_N", "4096"))
     dtype_name = os.environ.get("EK_BENCH_DTYPE", "float32")
     solver = os.environ.get("EK_BENCH_SOLVER", "scalapack")
     block = int(os.environ.get("EK_BENCH_BLOCK", "128"))
     n_vec = int(os.environ.get("EK_BENCH_NVEC", "0")) or None  # selecting
-    # All Pallas kernels are hardware-validated (2026-08-16: sturm 4.8e-7,
-    # solve bit-identical, back-transform 3.6e-6 at bw=128) and the
-    # selecting A/B measured scan == pallas at n=8192/k=500 (1.57 s both,
-    # identical eigenvalues) — run the default auto selection.
 
     import jax
 
@@ -64,12 +114,10 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    mixed = dtype_name == "mixed"
-    if dtype_name == "float64" or mixed:
-        # mixed: f32 pipeline + f64 Newton refinement (ops/refine.py) —
-        # reaches f64-level residuals while only 3 refinement GEMMs pay
-        # the software-emulated f64 cost on TPU
-        jax.config.update("jax_enable_x64", True)
+    # mixed: f32 pipeline + f64 Newton refinement (ops/refine.py) — reaches
+    # f64-level residuals while only the refinement GEMMs (Ozaki bf16-slice
+    # on TPU) pay the emulated-f64 cost
+    jax.config.update("jax_enable_x64", True)
 
     # Probe the backend with a BOUNDED subprocess first: a wedged axon
     # relay makes in-process jax.devices() block ~25 min before failing
@@ -104,38 +152,17 @@ def main() -> None:
     from eigenkernel_tpu.obs.events import EventLog
     from eigenkernel_tpu.solvers.api import solve
 
-    rng = np.random.default_rng(0)
-    a = rng.standard_normal((n, n))
-    a = ((a + a.T) / 2).astype("float64" if mixed else dtype_name)
+    mixed = dtype_name == "mixed"
+    a = _sym(n, "float64" if mixed else dtype_name)
     ad = jnp.asarray(a)
     solve_kw = dict(solver=solver, block_size=block, n_vec=n_vec)
     if mixed:
         solve_kw["dtype"] = "mixed"
 
-    @jax.jit
-    def quality(w, v, ad):
-        k = w.shape[0]
-        with jax.default_matmul_precision("highest"):
-            vv = v.astype(ad.dtype)
-            r = ad @ vv - vv * w[None, :].astype(ad.dtype)
-            return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
-                    jnp.max(jnp.abs(vv.T @ vv - jnp.eye(k, dtype=ad.dtype))))
-
     # --- ours (staged; first call compiles each stage, cached on disk)
-    t0 = time.time()
-    p = solve(ad, **solve_kw)
-    _sync_scalar(p.values)
-    compile_s = time.time() - t0
-    times = []
     log = EventLog(stream=False)
-    for i in range(3):
-        t0 = time.time()
-        p = solve(ad, log=log if i == 2 else None, **solve_kw)
-        _sync_scalar(p.values + p.vectors[0, :])
-        times.append(time.time() - t0)
-    t_ours = min(times)
-    resid, orth = quality(p.values, p.vectors, ad)
-    resid, orth = _sync_scalar(resid), _sync_scalar(orth)
+    p, t_ours, compile_s, resid, orth = _measure(solve, ad, log=log,
+                                                 **solve_kw)
     stage_times = {e["name"]: round(e["val"], 4) for e in log.events()}
 
     log_path = os.environ.get("EK_BENCH_LOG")
@@ -164,17 +191,22 @@ def main() -> None:
     mfu = (model_fl / t_ours / peak) if peak else None
 
     # roofline fraction of HBM speed-of-light for the memory-bound
-    # tridiagonalization stage (MFU understates a memory-bound solver)
+    # reduction stages (MFU understates a memory-bound solver)
     hbm_frac = None
-    t_tri = stage_times.get("sep:tridiagonalize")
     bw_peak = fl.chip_hbm_bw(jax.devices()[0].device_kind)
+    isize = 8 if dtype_name == "float64" else 4  # mixed pipeline is f32
+    t_tri = stage_times.get("sep:tridiagonalize")
     if t_tri and bw_peak and spec.core == "one_stage":
         from eigenkernel_tpu.ops.householder import DEFAULT_SYTRD_SPLIT
         split = int(os.environ.get("EK_SYTRD_SPLIT",
                                    str(DEFAULT_SYTRD_SPLIT)))
-        isize = 8 if dtype_name == "float64" else 4  # mixed pipeline is f32
         bytes_model = fl.sytrd_bytes(n_pad, split, isize)
         hbm_frac = round(bytes_model / t_tri / bw_peak, 3)
+    t_band = stage_times.get("sep:full_to_band")
+    if t_band and bw_peak and spec.core == "two_stage":
+        bw_band = int(os.environ.get("EK_TWOSTAGE_BW", "32"))
+        hbm_frac = round(fl.to_band_bytes(n_pad, bw_band, isize)
+                         / t_band / bw_peak, 3)
 
     # --- baseline: XLA QDWH eigh.  At M>=16k the baseline itself fails on
     # this setup (remote compile helper OOM-killed compiling eigh) while
@@ -217,8 +249,8 @@ def main() -> None:
           file=sys.stderr)
 
     extra = {}
-    if os.environ.get("EK_BENCH_FULL"):
-        extra = _bench_full(jax, jnp, solve, fl)
+    if not os.environ.get("EK_BENCH_QUICK"):
+        extra = _bench_extras(jnp, solve, fl, n, platform)
 
     tag = f"sym_evp_m{n}_{dtype_name}"
     if n_vec:
@@ -231,7 +263,7 @@ def main() -> None:
         else round(t_eigh / t_ours, 3),
         "tflops": round(tflops, 3),
         "mfu": None if mfu is None else round(mfu, 4),
-        "hbm_frac_tridiag": hbm_frac,
+        "hbm_frac": hbm_frac,
         "resid": float(f"{resid:.3e}"),
         "platform": platform,
     }
@@ -240,50 +272,52 @@ def main() -> None:
     print(json.dumps(rec))
 
 
-def _bench_full(jax, jnp, solve, fl):
-    """BASELINE.md configs 3 & 4: generalized two-stage M=4096 and the
-    selecting lowest-500 of M=16k (EK_BENCH_FULL=1)."""
-    import numpy as np
+def _row(solve, ad, bd=None, *, repeats=2, **kw):
+    try:
+        p, t, _, resid, orth = _measure(solve, ad, bd, repeats=repeats, **kw)
+        return {"s": round(t, 4), "resid": float(f"{resid:.3e}"),
+                "orth": float(f"{orth:.3e}")}
+    except Exception as exc:  # keep the headline alive if one row dies
+        print(f"# bench extra row failed: {exc!r}"[:400], file=sys.stderr)
+        return {"error": f"{type(exc).__name__}"}
 
-    from eigenkernel_tpu.solvers.registry import get_spec
 
+def _bench_extras(jnp, solve, fl, n_head: int, platform: str) -> dict:
+    """Default extra rows (VERDICT r3 #2): the BASELINE.md <=1e-12 mixed
+    bar, the generalized EVP (BASELINE.json's metric), and M=16384.
+    EK_BENCH_FULL=1 adds the selecting lowest-500/16k config."""
     out = {}
-    rng = np.random.default_rng(1)
 
-    # config 3: M=4096 generalized two-stage (general_elpa2), f32
+    # mixed precision at the headline M: f32 pipeline + Ozaki-GEMM
+    # refinement; residual must clear 1e-12 (checked at f64)
+    n = n_head
+    ad = jnp.asarray(_sym(n, "float64"))
+    out[f"mixed_m{n}"] = _row(solve, ad, solver="auto", dtype="mixed")
+
+    # generalized EVP, two-stage flagship (BASELINE.json metric)
     n = int(os.environ.get("EK_BENCH_GEN_N", "4096"))
-    a = rng.standard_normal((n, n))
-    a = ((a + a.T) / 2).astype("float32")
-    l = (rng.standard_normal((n, n)) * 0.1).astype("float32")
-    b = (l @ l.T + n * np.eye(n, dtype="float32")).astype("float32")
-    ad, bd = jnp.asarray(a), jnp.asarray(b)
-    p = solve(ad, bd, solver="general_elpa2", block_size=64)
-    _sync_scalar(p.values)
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        p = solve(ad, bd, solver="general_elpa2", block_size=64)
-        _sync_scalar(p.values + p.vectors[0, :])
-        times.append(time.time() - t0)
-    t_gen = min(times)
-    spec = get_spec("general_elpa2")
-    flops = fl.pipeline_flops(spec.core, True, spec.reduction,
-                              p.meta["n_pad"], n, 64)
-    out["gen_twostage_m4096_s"] = round(t_gen, 4)
-    out["gen_twostage_m4096_tflops"] = round(flops / t_gen / 1e12, 3)
+    ad = jnp.asarray(_sym(n, "float32"))
+    bd = jnp.asarray(_spd(n, "float32"))
+    r = _row(solve, ad, bd, solver="general_elpa2", block_size=64)
+    spec_fl = fl.pipeline_flops("two_stage", True, "scalapack",
+                                n, n, 64)
+    if "s" in r:
+        r["tflops"] = round(spec_fl / r["s"] / 1e12, 3)
+    out[f"gen_m{n}"] = r
 
-    # config 4: selecting lowest-500 of M=16k standard, f32
-    n = int(os.environ.get("EK_BENCH_SEL_N", "16384"))
-    k = 500
-    a = rng.standard_normal((n, n))
-    a = ((a + a.T) / 2).astype("float32")
-    ad = jnp.asarray(a)
-    p = solve(ad, solver="scalapack_select", n_vec=k, block_size=128)
-    _sync_scalar(p.values)
-    t0 = time.time()
-    p = solve(ad, solver="scalapack_select", n_vec=k, block_size=128)
-    _sync_scalar(p.values + p.vectors[0, :])
-    out[f"select_lowest{k}_m{n}_s"] = round(time.time() - t0, 4)
+    # the scale point (XLA eigh cannot compile at 16k on this setup)
+    if platform == "tpu" and not os.environ.get("EK_BENCH_NO16K"):
+        n = 16384
+        ad = jnp.asarray(_sym(n, "float32"))
+        out[f"full_m{n}"] = _row(solve, ad, solver="auto", repeats=2)
+        del ad
+
+    if os.environ.get("EK_BENCH_FULL"):
+        n, k = int(os.environ.get("EK_BENCH_SEL_N", "16384")), 500
+        ad = jnp.asarray(_sym(n, "float32"))
+        out[f"select_lowest{k}_m{n}"] = _row(
+            solve, ad, solver="scalapack_select", n_vec=k, block_size=128,
+            repeats=1)
     return out
 
 

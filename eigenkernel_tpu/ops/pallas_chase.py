@@ -502,7 +502,12 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # raise Mosaic's 16 MB scoped-compute ceiling when the
+            # align x big-group composition needs it (the r3 G=34+align
+            # compile failure missed it by 284 KB); None = default
+            vmem_limit_bytes=int(os.environ["EK_PALLAS_CHASE_VMEM"])
+            if os.environ.get("EK_PALLAS_CHASE_VMEM") else None),
         interpret=interpret,
     )(w_in)
     wout = wout.reshape(rows_tot, Wp)

@@ -117,7 +117,9 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
 
     The reference's whole point is comparing solver combinations to "find
     the best one" (README.md:4-5) — ``auto`` encodes the winners of the
-    committed TPU sweeps (evidence/SWEEP_r3*).  Heuristics:
+    committed TPU measurements (evidence/SWEEP_r4.md once the round-4
+    sweep lands; the per-decision probes are cited inline below).
+    Heuristics:
 
     * selecting: the pdsyevx-analog path (which itself picks the two-stage
       core on TPU at n >= 2048, solvers/api.py);

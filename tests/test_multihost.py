@@ -63,6 +63,38 @@ def test_two_process_cli(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(_MAT), reason="no sample matrices")
+def test_two_process_cli_two_stage(tmp_path):
+    # the TWO-STAGE pipeline across two real processes (r3 verdict #6:
+    # the original 2-proc test only covered the one-stage path): band
+    # reduction, chunked chase with the sweep-sharded reflector store,
+    # and the column-sharded back-transform all run under a mesh that
+    # spans both processes.
+    app = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bin", "eigenkernel_app")
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["EK_COORDINATOR"] = f"localhost:{port}"
+    env_base["EK_NUM_PROCESSES"] = "2"
+    args = [sys.executable, app, "--platform", "cpu", "--mesh", "2,4",
+            "-s", "eigensx", "-c", "-1",
+            f"{_MAT}/ELSES_MATRIX_VCNT400std_A.mtx"]
+    procs = []
+    for pid in (1, 0):
+        env = dict(env_base)
+        env["EK_PROCESS_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            args, cwd=tmp_path, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    ev = np.loadtxt(tmp_path / "eigenvalues.dat")[:, 1]
+    ref = np.loadtxt(f"{_MAT}/ELSES_MATRIX_VCNT400std_E.txt")[:, 1]
+    assert np.abs(ev - ref).max() < 5e-12
+
+
+@pytest.mark.skipif(not os.path.exists(_MAT), reason="no sample matrices")
 def test_two_process_master_error_no_deadlock(tmp_path):
     # missing input on the master: BOTH processes must exit 1 promptly
     # (coherent error broadcast, main.f90:65-68 parity) — not deadlock

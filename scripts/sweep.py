@@ -38,7 +38,11 @@ def main() -> int:
     ap.add_argument("--matrix-b", default="")
     ap.add_argument("--solvers", default="")
     ap.add_argument("--platform", default="")
+    ap.add_argument("--budget-s", type=float, default=0.0,
+                    help="skip solvers not yet started after this many "
+                         "seconds (protects the remote-compile queue)")
     args = ap.parse_args()
+    t_sweep0 = time.time()
 
     import jax
 
@@ -91,6 +95,10 @@ def main() -> int:
         spec = SOLVERS[name]
         if spec.single_device and mesh is not None:
             pass  # lapack ignores the mesh by design
+        if args.budget_s and time.time() - t_sweep0 > args.budget_s:
+            rows.append({"solver": name, "skipped": "budget"})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         log = EventLog(stream=False)
         try:
             # warm-up/compile

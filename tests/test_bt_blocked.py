@@ -46,8 +46,8 @@ def test_wavefront_matches_unblocked(n, bw, g):
 @pytest.mark.parametrize("n,bw,g", [(160, 32, 32), (224, 32, 64),
                                     (130, 16, 32)])
 def test_wavefront_pallas_matches_unblocked(n, bw, g):
-    # VMEM-tile pallas kernel (interpret mode): per-lane decode via
-    # static lane slices + rolls, dynamic-row window loads, dead-lane
+    # VMEM-tile pallas kernel (interpret mode): hoisted P-stream window
+    # transforms, 8-aligned dynamic-row window loads, dead-lane
     # clamping to the shared identity row
     from eigenkernel_tpu.ops.pallas_wf_bt import (
         apply_chase_q_wavefront_pallas)

@@ -42,10 +42,12 @@ with the eigenvector block pinned in VMEM:
   read-modify-write is exact, and the lane loop is sequential, so clamp
   collisions are harmless.
 
-Constraints: ``8 | b``, ``g in {32, 64}``, ``b + g <= 128``, and the P
-stream must fit the EK_WF_BT_STREAM HBM budget (default 3.5 GB — n=8192
-needs 2.4 GB at g=64; n=16384 does not fit and falls back to the XLA
-wavefront).
+Constraints: ``8 | b``, ``8 | g``, ``b + g <= 128``.  The P stream is
+built and consumed in tau-range PHASES of <= EK_WF_BT_STREAM bytes each
+(n=8192/g=64 fits in one 2.4 GB phase; n=16384 runs 4 phases of its
+9.6 GB total — each extra phase costs only one n*k z re-read).  g need
+not divide anything: g=96 gives S=128 windows, i.e. full-MXU-tile
+(128,128)@(128,TK) GEMMs.
 
 Reference parity: ELPA2's band-to-tridiagonal eigenvector back-transform
 (solver_elpa.f90:448 two-stage path); schedule and kernelization are
@@ -70,12 +72,13 @@ from eigenkernel_tpu.ops.bulge import (ChaseResult, _wy_embed,
 
 def _wf_bt_kernel(p_ref, zin_ref, zout_ref, *,
                   n: int, b: int, g: int, nG: int, top: int, dead: int,
-                  prec):
-    t = pl.program_id(1)
+                  t_off: int, prec):
+    tl = pl.program_id(1)
+    t = tl + t_off
     S = b + g
     dtype = zout_ref.dtype
 
-    @pl.when(t == 0)
+    @pl.when(tl == 0)
     def _init():
         zout_ref[...] = zin_ref[...]
 
@@ -165,11 +168,16 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     isz = jnp.dtype(z.dtype).itemsize
     Tp = T + nG
     stream_bytes = (Tp - 1) * nG * S * 128 * isz
+    # the P stream does not fit HBM whole at n=16384 (9.6 GB at g=64):
+    # build and consume it in <= EK_WF_BT_PHASES tau-range phases of
+    # <= EK_WF_BT_STREAM bytes each (z re-reads cost only n*k*4 bytes
+    # per extra phase — negligible next to the stream itself)
     stream_budget = int(os.environ.get("EK_WF_BT_STREAM",
-                                       str(int(3.5 * 2 ** 30))))
+                                       str(int(3.0 * 2 ** 30))))
+    max_phases = int(os.environ.get("EK_WF_BT_PHASES", "8"))
+    nph = max(1, -(-stream_bytes // stream_budget))
     if (n <= 2 or bw < 2 or res.HV.shape[0] < n or b % 8 != 0
-            or g not in (32, 64) or S > 128
-            or stream_bytes > stream_budget):
+            or g % 8 != 0 or g < 8 or S > 128 or nph > max_phases):
         from eigenkernel_tpu.ops.bulge import apply_chase_q_wavefront
         return apply_chase_q_wavefront(res, z, bw, group=group)
     dtype = z.dtype
@@ -177,7 +185,6 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     HVv, HTv = wavefront_stores(res, n, b, g)
     hvt = HVv.swapaxes(0, 1)                     # (Tp-1, nG, g*b)
     htt = HTv.swapaxes(0, 1)
-    pst = _p_stream(hvt, htt, g, b)              # (Tp-1, nG*S, 128)
 
     # frame layout: top margin aligns every window offset to 8 rows
     # (see module docstring); the dead row sits past the live range and
@@ -195,21 +202,27 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     zp = jnp.zeros((rows_frame, kp), dtype)
     zp = lax.dynamic_update_slice(zp, z, (top, 0))
 
-    kern = functools.partial(_wf_bt_kernel, n=n, b=b, g=g, nG=nG,
-                             top=top, dead=dead,
-                             prec=lax.Precision.HIGHEST)
-    out = pl.pallas_call(
-        kern,
-        grid=(kp // tk, Tp - 1),
-        in_specs=[
-            pl.BlockSpec((1, nG * S, 128), lambda c, t: (t, 0, 0)),
-            pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
-        ],
-        out_specs=pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
-        out_shape=jax.ShapeDtypeStruct((rows_frame, kp), dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=vmem_budget),
-        interpret=interpret,
-    )(pst, zp)
-    return out[top:top + n, :k]
+    prec = dict(high=lax.Precision.HIGH)[os.environ["EK_WF_BT_PREC"]] \
+        if os.environ.get("EK_WF_BT_PREC") else lax.Precision.HIGHEST
+    tq = Tp - 1
+    bounds = [tq * i // nph for i in range(nph + 1)]
+    for t0, t1 in zip(bounds[:-1], bounds[1:]):
+        pst = _p_stream(hvt[t0:t1], htt[t0:t1], g, b)
+        kern = functools.partial(_wf_bt_kernel, n=n, b=b, g=g, nG=nG,
+                                 top=top, dead=dead, t_off=t0,
+                                 prec=prec)
+        zp = pl.pallas_call(
+            kern,
+            grid=(kp // tk, t1 - t0),
+            in_specs=[
+                pl.BlockSpec((1, nG * S, 128), lambda c, t: (t, 0, 0)),
+                pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
+            ],
+            out_specs=pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
+            out_shape=jax.ShapeDtypeStruct((rows_frame, kp), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=vmem_budget),
+            interpret=interpret,
+        )(pst, zp)
+    return zp[top:top + n, :k]

@@ -44,7 +44,7 @@ def test_wavefront_matches_unblocked(n, bw, g):
 
 
 @pytest.mark.parametrize("n,bw,g", [(160, 32, 32), (224, 32, 64),
-                                    (130, 16, 32)])
+                                    (130, 16, 32), (296, 32, 96)])
 def test_wavefront_pallas_matches_unblocked(n, bw, g):
     # VMEM-tile pallas kernel (interpret mode): hoisted P-stream window
     # transforms, 8-aligned dynamic-row window loads, dead-lane
@@ -63,6 +63,28 @@ def test_wavefront_pallas_matches_unblocked(n, bw, g):
         res, jnp.asarray(z), bw=bw, group=g, interpret=True))
     scale = max(np.abs(z1).max(), 1.0)
     assert np.abs(z1 - z2).max() / scale < 5e-6
+
+
+def test_wavefront_pallas_multiphase(monkeypatch):
+    # force the tau-range phasing (the n=16384 HBM path): a tiny stream
+    # budget splits the P stream into several build+apply phases, which
+    # must compose to the same Q2 as the single-phase run
+    from eigenkernel_tpu.ops.pallas_wf_bt import (
+        apply_chase_q_wavefront_pallas)
+
+    n, bw, g = 224, 32, 64
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = a + a.T
+    band = np.triu(np.tril(a, bw), -bw)
+    res = bulge.band_to_tridiag(jnp.asarray(band), bw=bw)
+    z = rng.standard_normal((n, 40)).astype(np.float32)
+    z1 = np.asarray(apply_chase_q_wavefront_pallas(
+        res, jnp.asarray(z), bw=bw, group=g, interpret=True))
+    monkeypatch.setenv("EK_WF_BT_STREAM", "300000")   # forces ~4 phases
+    z2 = np.asarray(apply_chase_q_wavefront_pallas(
+        res, jnp.asarray(z), bw=bw, group=g, interpret=True))
+    assert np.abs(z1 - z2).max() < 1e-5
 
 
 def test_wavefront_two_stage_pipeline(monkeypatch):

@@ -70,11 +70,13 @@ from eigenkernel_tpu.ops.bulge import (ChaseResult, _wy_embed,
                                        wavefront_stores)
 
 
-def _wf_bt_kernel(p_ref, zin_ref, zout_ref, *,
+def _wf_bt_kernel(toff_ref, p_ref, zin_ref, zout_ref, *,
                   n: int, b: int, g: int, nG: int, top: int, dead: int,
-                  t_off: int, prec):
+                  prec):
     tl = pl.program_id(1)
-    t = tl + t_off
+    # t_off is a runtime SMEM scalar so every tau-range phase shares ONE
+    # compiled program (a static offset would recompile per phase)
+    t = tl + toff_ref[0]
     S = b + g
     dtype = zout_ref.dtype
 
@@ -205,24 +207,34 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     prec = dict(high=lax.Precision.HIGH)[os.environ["EK_WF_BT_PREC"]] \
         if os.environ.get("EK_WF_BT_PREC") else lax.Precision.HIGHEST
     tq = Tp - 1
-    bounds = [tq * i // nph for i in range(nph + 1)]
-    for t0, t1 in zip(bounds[:-1], bounds[1:]):
-        pst = _p_stream(hvt[t0:t1], htt[t0:t1], g, b)
-        kern = functools.partial(_wf_bt_kernel, n=n, b=b, g=g, nG=nG,
-                                 top=top, dead=dead, t_off=t0,
-                                 prec=prec)
-        zp = pl.pallas_call(
-            kern,
-            grid=(kp // tk, t1 - t0),
-            in_specs=[
-                pl.BlockSpec((1, nG * S, 128), lambda c, t: (t, 0, 0)),
-                pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
-            ],
-            out_specs=pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
-            out_shape=jax.ShapeDtypeStruct((rows_frame, kp), dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary"),
-                vmem_limit_bytes=vmem_budget),
-            interpret=interpret,
-        )(pst, zp)
+    # uniform phase length: all phases share one compiled program (the
+    # tau offset is a runtime scalar); zero-padded tail taus give dead
+    # groups => P = I exactly
+    tc = -(-tq // nph)
+    if nph * tc > tq:
+        hvt = jnp.concatenate(
+            [hvt, jnp.zeros((nph * tc - tq,) + hvt.shape[1:], dtype)])
+        htt = jnp.concatenate(
+            [htt, jnp.zeros((nph * tc - tq,) + htt.shape[1:], dtype)])
+    kern = functools.partial(_wf_bt_kernel, n=n, b=b, g=g, nG=nG,
+                             top=top, dead=dead, prec=prec)
+    pcall = pl.pallas_call(
+        kern,
+        grid=(kp // tk, tc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nG * S, 128), lambda c, t: (t, 0, 0)),
+            pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
+        ],
+        out_specs=pl.BlockSpec((rows_frame, tk), lambda c, t: (0, c)),
+        out_shape=jax.ShapeDtypeStruct((rows_frame, kp), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )
+    for i in range(nph):
+        pst = _p_stream(hvt[i * tc:(i + 1) * tc],
+                        htt[i * tc:(i + 1) * tc], g, b)
+        zp = pcall(jnp.full((1,), i * tc, jnp.int32), pst, zp)
     return zp[top:top + n, :k]

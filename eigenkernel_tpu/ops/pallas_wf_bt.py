@@ -197,7 +197,10 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     rows_frame = dead + 128
     vmem_budget = int(os.environ.get("EK_WF_BT_VMEM", str(100 * 2 ** 20)))
     tk = int(os.environ.get("EK_WF_BT_TK", "512"))
-    while tk > 128 and (2 * rows_frame * tk + 2 * nG * S * 128) * isz \
+    # Mosaic double-buffers every window: 2 levels x (z-in + z-out tiles)
+    # + 2 levels x the P block (verified against the 16k compile report:
+    # 2*64.84M z windows + 24M P = 153.9M at tk=512)
+    while tk > 128 and (4 * rows_frame * tk + 2 * nG * S * 128) * isz \
             > vmem_budget:
         tk //= 2
     kp = -(-k // tk) * tk

@@ -323,6 +323,48 @@ def apply_chase_q_blocked(res: ChaseResult, z: jax.Array, bw: int,
     return zp[top:top + n]
 
 
+def group_stores(res: ChaseResult, n: int, b: int, g: int):
+    """Group-major band-position reflector stores.
+
+    Returns ``(X, Xt)`` with ``X[G, t]`` = the (g*b,)-flat reflector
+    block of group ``G`` (sweeps ``[c0-g+1 .. c0]``,
+    ``c0 = nsweeps-1-G*g``, NEWEST sweep first — the blocked path's
+    hv_desc order) at band position ``t`` in [0, T), and ``Xt[G, t]``
+    the matching (g,) taus.  The last (partial) group's missing sweeps
+    are zero reflectors with tau = 0 (exact identity).
+
+    Built with ``g*b`` as the MINOR dim throughout: any (…, g, b) or
+    (…, T, b) intermediate lane-pads b=32 -> 128 on TPU (4x — multi-GB
+    at n=16384), so the per-group transpose runs in a lax.map whose
+    (g, T, b) transient is a few MB.
+    """
+    T = res.HV.shape[1]
+    nsweeps = n - 2
+    nG = -(-nsweeps // g)
+    dtype = res.HV.dtype
+    padG = nG * g - nsweeps
+
+    def _build_group(Gi):                     # Gi in [0, nG-2]: no pad
+        start = nsweeps - (Gi + 1) * g
+        hv = lax.dynamic_slice(res.HV, (start, 0, 0), (g, T, b))[::-1]
+        ht = lax.dynamic_slice(res.HT, (start, 0), (g, T))[::-1]
+        return (hv.swapaxes(0, 1).reshape(T, g * b), ht.swapaxes(0, 1))
+
+    lastv = jnp.concatenate(
+        [jnp.zeros((padG, T, b), dtype), res.HV[: g - padG]], axis=0)[::-1]
+    lastt = jnp.concatenate(
+        [jnp.zeros((padG, T), dtype), res.HT[: g - padG]], axis=0)[::-1]
+    lastv = lastv.swapaxes(0, 1).reshape(1, T, g * b)
+    lastt = lastt.swapaxes(0, 1)[None]
+    if nG > 1:
+        Xm, Xtm = lax.map(_build_group, jnp.arange(nG - 1))
+        X = jnp.concatenate([Xm, lastv], axis=0)
+        Xt = jnp.concatenate([Xtm, lastt], axis=0)
+    else:
+        X, Xt = lastv, lastt
+    return X, Xt
+
+
 def wavefront_stores(res: ChaseResult, n: int, b: int, g: int):
     """Anti-diagonal wavefront reflector stores.
 
@@ -346,26 +388,7 @@ def wavefront_stores(res: ChaseResult, n: int, b: int, g: int):
     nG = -(-nsweeps // g)
     Tp = T + nG
     dtype = res.HV.dtype
-    padG = nG * g - nsweeps
-
-    def _build_group(Gi):                     # Gi in [0, nG-2]: no pad
-        start = nsweeps - (Gi + 1) * g
-        hv = lax.dynamic_slice(res.HV, (start, 0, 0), (g, T, b))[::-1]
-        ht = lax.dynamic_slice(res.HT, (start, 0), (g, T))[::-1]
-        return (hv.swapaxes(0, 1).reshape(T, g * b), ht.swapaxes(0, 1))
-
-    lastv = jnp.concatenate(
-        [jnp.zeros((padG, T, b), dtype), res.HV[: g - padG]], axis=0)[::-1]
-    lastt = jnp.concatenate(
-        [jnp.zeros((padG, T), dtype), res.HT[: g - padG]], axis=0)[::-1]
-    lastv = lastv.swapaxes(0, 1).reshape(1, T, g * b)
-    lastt = lastt.swapaxes(0, 1)[None]
-    if nG > 1:
-        Xm, Xtm = lax.map(_build_group, jnp.arange(nG - 1))
-        X = jnp.concatenate([Xm, lastv], axis=0)
-        Xt = jnp.concatenate([Xtm, lastt], axis=0)
-    else:
-        X, Xt = lastv, lastt
+    X, Xt = group_stores(res, n, b, g)
     X = jnp.concatenate([X, jnp.zeros((nG, nG, g * b), dtype)], axis=1)
     Xt = jnp.concatenate([Xt, jnp.zeros((nG, nG, g), dtype)], axis=1)
     HVv = X.reshape(nG * Tp, g * b)[: nG * (Tp - 1)].reshape(

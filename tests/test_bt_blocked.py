@@ -65,6 +65,35 @@ def test_wavefront_pallas_matches_unblocked(n, bw, g):
     assert np.abs(z1 - z2).max() / scale < 5e-6
 
 
+@pytest.mark.parametrize("n,bw,g,m", [(224, 32, 64, 1), (224, 32, 64, 2),
+                                      (296, 32, 64, 6), (256, 16, 48, 3),
+                                      (160, 32, 32, 4)])
+def test_wavefront_pallas_composite_m(n, bw, g, m, monkeypatch):
+    # composite-m window fusion: m consecutive band positions of each
+    # group composed into one (g+m*b)-row transform (S2=256 two-tile
+    # cases included), vs the unblocked ground truth; also the
+    # full-range (non-live) lane loop with liveness clamping
+    from eigenkernel_tpu.ops.pallas_wf_bt import (
+        apply_chase_q_wavefront_pallas)
+
+    monkeypatch.setenv("EK_WF_BT_M", str(m))
+    rng = np.random.default_rng(n + bw + m)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = a + a.T
+    band = np.triu(np.tril(a, bw), -bw)
+    res = bulge.band_to_tridiag(jnp.asarray(band), bw=bw)
+    z = rng.standard_normal((n, 70)).astype(np.float32)
+    z1 = np.asarray(bulge.apply_chase_q(res, jnp.asarray(z), bw=bw))
+    z2 = np.asarray(apply_chase_q_wavefront_pallas(
+        res, jnp.asarray(z), bw=bw, group=g, interpret=True))
+    scale = max(np.abs(z1).max(), 1.0)
+    assert np.abs(z1 - z2).max() / scale < 5e-6
+    monkeypatch.setenv("EK_WF_BT_LIVE", "0")
+    z3 = np.asarray(apply_chase_q_wavefront_pallas(
+        res, jnp.asarray(z), bw=bw, group=g, interpret=True))
+    assert np.abs(z1 - z3).max() / scale < 5e-6
+
+
 def test_wavefront_pallas_multiphase(monkeypatch):
     # force the tau-range phasing (the n=16384 HBM path): a tiny stream
     # budget splits the P stream into several build+apply phases, which

@@ -25,6 +25,9 @@ for n in sizes:
     with jax.default_matmul_precision("highest"):
         band_res = _j_to_band(ad, bw, None)
         chase = _j_band_to_tridiag(band_res.band, bw, "pallas", None)
+        del band_res, ad       # the dense band matrix is dead: at
+        # n=16384 the extra 2x1.07 GB tipped the pipeline into HBM
+        # RESOURCE_EXHAUSTED (r4 chain wfp3)
         z0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
         try:
             for it in range(2):
@@ -45,4 +48,4 @@ for n in sizes:
             sc = float(jnp.max(jnp.abs(ref[:, :64])))
             print(json.dumps({"n": n, "maxdiff_rel": d / max(sc, 1.0)}),
                   flush=True)
-    del ad, band_res, chase, z0
+    del chase, z0

@@ -145,6 +145,11 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         # until hardware-validated.
         bt_method = "wavefront" if (jax.default_backend() == "tpu"
                                     and ctx.mesh is None) else "blocked"
+        # VMEM-tile composite kernel (pallas_wf_bt v3): opt-in until the
+        # r4d hardware ladder lands; it falls back to the XLA wavefront
+        # internally outside its envelope, so routing is always safe
+        if bt_method == "wavefront" and os.environ.get("EK_BT_WFP") == "1":
+            bt_method = "wf_pallas"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,
              flops=fl.back_transform_two_stage(n, n_vec))

@@ -50,10 +50,13 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.dtype in ("float64", "mixed"):
         jax.config.update("jax_enable_x64", True)
-    cache = os.environ.get("EK_CACHE_DIR")
-    if cache:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # default to the repo cache: remote TPU compiles are minutes each and
+    # the sweep's whole point is many configs — never run it uncached
+    cache = os.environ.get("EK_CACHE_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
 

@@ -50,16 +50,22 @@ def _qr_panel(p: jax.Array, pivot0, b: int):
     Column j's reflector has its unit pivot at row ``pivot0 + j`` and zeros
     above.  Returns (V, taus); ``p``'s R factor is not needed by callers
     (the uniform WY update regenerates it).
+
+    The loop state is kept TRANSPOSED (b, n): a (n, b<=32) carry
+    lane-pads b -> 128 on TPU (4x traffic on a loop that rereads the
+    whole panel every step — ~0.5 s of the to_band total at n=16384),
+    while (b, n) uses b sublanes exactly.  Reflectors become lane-dim
+    row vectors; the panel update is one rank-1 broadcast.
     """
     n = p.shape[0]
     dtype = p.dtype
-    rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n,), 0)
 
     def step(j, carry):
-        p, V, taus = carry
+        pt, Vt, taus = carry
         piv = pivot0 + j
-        x = lax.dynamic_slice(p, (0, j), (n, 1))[:, 0]
-        tail = jnp.where(rows > piv, x, 0.0)
+        x = lax.dynamic_slice(pt, (j, 0), (1, n))[0]
+        tail = jnp.where(cols > piv, x, 0.0)
         alpha = lax.dynamic_slice(x, (jnp.minimum(piv, n - 1),), (1,))[0]
         sigma = jnp.sum(tail * tail)
         zero_tail = sigma == 0
@@ -69,19 +75,20 @@ def _qr_panel(p: jax.Array, pivot0, b: int):
         denom = jnp.where(zero_tail, 1.0, alpha - beta).astype(dtype)
         live = jnp.logical_and(jnp.logical_not(zero_tail),
                                piv < n).astype(dtype)
-        v = live * (tail / denom + (rows == piv).astype(dtype))
+        v = live * (tail / denom + (cols == piv).astype(dtype))
         tau = live * jnp.where(zero_tail, 0.0,
                                (beta - alpha) /
                                jnp.where(beta == 0, 1.0, beta))
-        p = p - tau * jnp.outer(v, v @ p)
-        V = lax.dynamic_update_slice(V, v[:, None], (0, j))
+        w = pt @ v                               # (b,)
+        pt = pt - tau * w[:, None] * v[None, :]
+        Vt = lax.dynamic_update_slice(Vt, v[None, :], (j, 0))
         taus = taus.at[j].set(tau)
-        return (p, V, taus)
+        return (pt, Vt, taus)
 
-    V0 = jnp.zeros((n, b), dtype)
+    V0 = jnp.zeros((b, n), dtype)
     t0 = jnp.zeros((b,), dtype)
-    _, V, taus = lax.fori_loop(0, b, step, (p, V0, t0))
-    return V, taus
+    _, Vt, taus = lax.fori_loop(0, b, step, (p.T, V0, t0))
+    return Vt.T, taus
 
 
 def to_band(a: jax.Array, bw: int,

@@ -107,6 +107,70 @@ def transpose_operand(op: OzakiOperand) -> OzakiOperand:
                         contract_axis=1 - op.contract_axis)
 
 
+def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
+                         beta: int = DEFAULT_BETA, out_dtype=None,
+                         max_diag: int | None = None,
+                         kc: int | None = None):
+    """``C = a @ b`` like :func:`ozaki_matmul`, but with the slice split
+    done PER CONTRACTION CHUNK inside a ``lax.scan``.
+
+    The unchunked form pre-splits both operands full-width — at
+    n = 16384 that is ~0.5 GB per bf16 slice and >10 GB resident per
+    operand pair — and unrolls every slice-pair GEMM into the caller's
+    program, which the XLA memory planner inflated to a 290 GB
+    requirement inside the unrolled Newton refinement (r4 chain,
+    refine16k).  Here the scan body splits one (m, kc) x (kc, n) block
+    pair, runs its ~max_diag^2/2 bf16 GEMMs with TwoSum f32
+    accumulation (kc <= 2^(22-2*beta) keeps every product chunk-exact),
+    and adds the unscaled block product into an f64 carry — transients
+    are O(q*m*kc) and exactly ONE (m, n) GEMM temp is live at a time.
+    Accuracy: each block result is exact to the truncation (~2^(-beta*
+    max_diag)); the f64 carry adds one eps64 rounding per chunk.
+    """
+    if q is None:
+        q = _env_q()
+    if max_diag is not None:
+        q = min(q, max_diag)
+    m, k = a.shape
+    n = b.shape[1]
+    if kc is None:
+        kc = int(os.environ.get("EK_OZAKI_KC", "2048"))
+    kc = min(kc, 1 << (22 - 2 * beta), k)
+    nkc = -(-k // kc)
+    if nkc * kc > k:
+        pad = nkc * kc - k
+        a = jnp.concatenate([a, jnp.zeros((m, pad), a.dtype)], axis=1)
+        b = jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], axis=0)
+    if out_dtype is None:
+        out_dtype = jnp.zeros((), jnp.float64).dtype
+    a_blk = a.reshape(m, nkc, kc).transpose(1, 0, 2)
+    b_blk = b.reshape(nkc, kc, n)
+
+    def body(c, blk):
+        ab, bb = blk
+        op_a = split_slices(ab, 1, q, beta)
+        op_b = split_slices(bb, 0, q, beta)
+        hi = jnp.zeros((m, n), jnp.float32)
+        lo = jnp.zeros((m, n), jnp.float32)
+        for s_diag in range(q):
+            for ta in range(s_diag + 1):
+                tb = s_diag - ta
+                if tb >= q:
+                    continue
+                p = lax.dot_general(
+                    op_a.slices[ta], op_b.slices[tb],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                hi, lo = _two_sum_acc(hi, lo, p)
+        c = c + (hi.astype(out_dtype) + lo.astype(out_dtype)) \
+            * op_a.scale.astype(out_dtype) * op_b.scale.astype(out_dtype)
+        return c, None
+
+    c0 = jnp.zeros((m, n), out_dtype)
+    c, _ = lax.scan(body, c0, (a_blk, b_blk))
+    return c
+
+
 def _two_sum_acc(hi: jax.Array, lo: jax.Array, p: jax.Array):
     """Error-free accumulation: (hi + lo) + p with the rounding error of
     the leading add captured into lo (Knuth TwoSum, 6 flops)."""

@@ -79,7 +79,42 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     gemm_mode = os.environ.get("EK_REFINE_GEMM", "auto")
     if gemm_mode == "auto":
         gemm_mode = "ozaki" if jax.default_backend() == "tpu" else "f64"
-    if gemm_mode == "ozaki":
+    # Large-n regime (auto: n > EK_REFINE_CHUNK_MIN, default 8192): the
+    # full-width ozaki splits do not fit HBM (>10 GB/operand pair at
+    # n=16384) and the unrolled slice-pair GEMMs inflated the XLA memory
+    # plan to 290 GB (r4 chain) — switch to the scan-serialized chunked
+    # GEMM and a short schedule: TWO full-depth (md=9, floor ~2^-45)
+    # steps.  Measured (n=160 forced-big probe): "9,9" 1.3e-13 / "6,9"
+    # 3.5e-12 (a truncated first step leaves the period-2 oscillation
+    # mid-cycle — see module docstring) / "6,6,9" 2.4e-13 at 3 steps.
+    big = a.shape[0] > int(os.environ.get("EK_REFINE_CHUNK_MIN", "8192"))
+    if gemm_mode == "ozaki" and big:
+        from eigenkernel_tpu.ops import ozaki
+
+        if "EK_REFINE_STEPS" not in os.environ:
+            steps = min(steps, 2)
+        sched = [int(x) for x in os.environ.get(
+            "EK_REFINE_OZAKI_SCHED_BIG", "9,9").split(",")]
+
+        def _residual_mats(v, md=None, s_only=False):
+            av = _wsc(ozaki.ozaki_matmul_chunked(
+                a, v, out_dtype=dtype, max_diag=md), mesh)
+            vt = v.T
+            s = _wsc(ozaki.ozaki_matmul_chunked(
+                vt, av, out_dtype=dtype, max_diag=md), mesh)
+            if s_only:
+                return av, v, s, None
+            if b is None:
+                r = _wsc(ozaki.ozaki_matmul_chunked(
+                    vt, v, out_dtype=dtype, max_diag=md), mesh)
+                bv = v
+            else:
+                bv = _wsc(ozaki.ozaki_matmul_chunked(
+                    b, v, out_dtype=dtype, max_diag=md), mesh)
+                r = _wsc(ozaki.ozaki_matmul_chunked(
+                    vt, bv, out_dtype=dtype, max_diag=md), mesh)
+            return av, bv, s, r
+    elif gemm_mode == "ozaki":
         from eigenkernel_tpu.ops import ozaki
 
         op_a = ozaki.split_slices(a, 1)  # hoisted: A is fixed across steps
@@ -177,7 +212,10 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     # cluster exactly — O(k^2) per pass plus ONE V @ J GEMM.
     _, _, s, _ = _residual_mats(v, s_only=True)  # bv/r unused here
     s, j_rot = _adjacent_jacobi(s, passes=6)
-    if gemm_mode == "ozaki":
+    if gemm_mode == "ozaki" and big:
+        v = _wsc(ozaki.ozaki_matmul_chunked(v, j_rot, out_dtype=dtype),
+                 mesh)
+    elif gemm_mode == "ozaki":
         # j_rot can carry O(1) in-cluster rotations whose application
         # must not round v back to f32 accuracy — full-precision GEMM
         v = _wsc(ozaki.ozaki_matmul(ozaki.split_slices(v, 1),
@@ -187,7 +225,10 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         v = _wsc(v @ j_rot, mesh)
     lam = jnp.diagonal(s)
     if b is not None:
-        if gemm_mode == "ozaki":
+        if gemm_mode == "ozaki" and big:
+            bv = _wsc(ozaki.ozaki_matmul_chunked(b, v, out_dtype=dtype),
+                      mesh)
+        elif gemm_mode == "ozaki":
             bv = _wsc(ozaki.ozaki_matmul(op_b, ozaki.split_slices(v, 0),
                                          out_dtype=dtype), mesh)
         else:

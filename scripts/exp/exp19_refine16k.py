@@ -8,7 +8,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 from eigenkernel_tpu.solvers import solve
-from eigenkernel_tpu.ops.ozaki import ozaki_matmul
+from eigenkernel_tpu.ops.ozaki import ozaki_matmul_chunked
 
 n = int(os.environ.get("N", "16384"))
 mode = os.environ.get("EK_REFINE_GEMM", "auto")
@@ -28,9 +28,9 @@ def quality(w, v, ad):
     v64 = v[:, ::4].astype(jnp.float64)
     w64 = w[::4].astype(jnp.float64)
     k = v64.shape[1]
-    av = ozaki_matmul(ad, v64)
+    av = ozaki_matmul_chunked(ad, v64)
     r = av - v64 * w64[None, :]
-    g = ozaki_matmul(v64.T, v64) - jnp.eye(k, dtype=jnp.float64)
+    g = ozaki_matmul_chunked(v64.T, v64) - jnp.eye(k, dtype=jnp.float64)
     return (jnp.max(jnp.abs(r)) / jnp.linalg.norm(ad),
             jnp.max(jnp.abs(g)))
 

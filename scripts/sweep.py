@@ -83,6 +83,14 @@ def main() -> int:
             br = rng.standard_normal((n, n))
             b = (br @ br.T + n * np.eye(n)).astype(host_dtype)
 
+    # device-place ONCE: a host numpy operand inside the timed call adds
+    # a ~2.2 s (67 MB @ ~30 MB/s tunnel) host->device transfer to every
+    # solver uniformly (observed in the r4 sweep_std4096 run: eigh 2.35 s
+    # vs its 0.15 s compute)
+    a = jnp.asarray(a)
+    if b is not None:
+        b = jnp.asarray(b)
+
     mesh = None
     if args.mesh:
         r, c = args.mesh.split(",")

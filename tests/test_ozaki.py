@@ -89,3 +89,52 @@ def test_ozaki_mixed_beta_rejected():
     ob = ozaki.split_slices(a, 0, q=4, beta=5)
     with pytest.raises(ValueError, match="slice widths differ"):
         ozaki.ozaki_matmul(oa, ob)
+
+
+def test_ozaki_matmul_chunked_accuracy():
+    # scan-serialized per-chunk splitting (the n>8192 refine path) must
+    # match the full-split product to ~eps64-per-chunk accumulation;
+    # odd k exercises the zero-pad tail chunk
+    import jax.numpy as jnp
+
+    from eigenkernel_tpu.ops import ozaki
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((96, 130)) * np.exp(
+        rng.standard_normal((96, 130)))
+    b = rng.standard_normal((130, 80))
+    ref = a @ b
+    c = np.asarray(ozaki.ozaki_matmul_chunked(
+        jnp.asarray(a), jnp.asarray(b), kc=64))
+    err = np.abs(c - ref).max() / np.abs(ref).max()
+    assert err < 1e-13, err
+    # truncated expansion: coarser but still far below f32
+    c8 = np.asarray(ozaki.ozaki_matmul_chunked(
+        jnp.asarray(a), jnp.asarray(b), kc=64, max_diag=8))
+    err8 = np.abs(c8 - ref).max() / np.abs(ref).max()
+    assert err8 < 1e-9, err8
+
+
+def test_refine_big_path(monkeypatch):
+    # the large-n chunked-ozaki refinement branch (forced small): must
+    # reach the same 1e-12 bar as the hoisted-split path
+    import jax.numpy as jnp
+
+    from eigenkernel_tpu.ops.refine import refine_eigenpairs
+
+    monkeypatch.setenv("EK_REFINE_GEMM", "ozaki")
+    monkeypatch.setenv("EK_REFINE_CHUNK_MIN", "64")
+    monkeypatch.setenv("EK_OZAKI_KC", "96")
+    n = 160
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w32, v32 = np.linalg.eigh(a.astype(np.float32))
+    lam, v = refine_eigenpairs(jnp.asarray(a), jnp.asarray(v32))
+    lam, v = np.asarray(lam), np.asarray(v)
+    resid = np.max(np.abs(a @ v - v * lam[None, :])) / np.linalg.norm(a)
+    orth = np.max(np.abs(v.T @ v - np.eye(n)))
+    assert resid < 1e-12, resid
+    # the 2-step big schedule trades a little orthogonality (probe:
+    # ~5e-12) for ~3x less cost than the small-n 6-step default
+    assert orth < 2e-11, orth

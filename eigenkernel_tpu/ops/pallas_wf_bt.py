@@ -122,7 +122,19 @@ def _wf_bt_kernel(toff_ref, p_ref, zin_ref, zout_ref, *,
         return carry
 
     if live:
+        S2 = g + m * b
         glo = jnp.maximum(0, u - (Tm - 1))
+        # per-sweep tail deadness: a window starting at or past the live
+        # z rows has all-zero reflectors (the (sweep, t) store is dense-
+        # packed per sweep; short late sweeps zero-pad their tail), i.e.
+        # P = I — row0 < top + n  <=>  G > (m*b*u + K - n)/S2, which
+        # excludes ANOTHER ~half of the executed lane GEMMs on top of
+        # the wavefront-ramp bound.
+        K = nsweeps + 1 - g
+        # floor division (the numerator goes negative early in the
+        # wavefront, where every lane must stay included)
+        glo = jnp.maximum(glo,
+                          jnp.floor_divide(m * b * u + K - n, S2) + 1)
         ghi = jnp.minimum(nG - 1, u)
         lax.fori_loop(glo, ghi + 1, lane, 0)
     else:

@@ -290,6 +290,12 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     while tk > 128 and (4 * rows_frame * tk + 2 * nG * S2 * S2c) * isz \
             > vmem_budget:
         tk //= 2
+    if (4 * rows_frame * tk + 2 * nG * S2 * S2c) * isz > vmem_budget:
+        # even tk=128 does not fit (e.g. big-m composites at large nG:
+        # the double-buffered Q block alone is 2*nG*S2*S2c*4 bytes) —
+        # a Mosaic compile would fail at run time on hardware
+        from eigenkernel_tpu.ops.bulge import apply_chase_q_wavefront
+        return apply_chase_q_wavefront(res, z, bw, group=group)
     kp = -(-k // tk) * tk
     zp = jnp.zeros((rows_frame, kp), dtype)
     zp = lax.dynamic_update_slice(zp, z, (top, 0))

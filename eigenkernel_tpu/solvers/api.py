@@ -15,9 +15,16 @@ Responsibilities, mirroring the reference's registry hub:
 from __future__ import annotations
 
 import math
+import sys
 import time
 from functools import partial
 from typing import Any, Optional
+
+# the bucketed split-s recursions (ops/band.py, ops/householder.py) are
+# ~26 Python levels deep at n=2048/bw=32/split=8, and each level costs
+# tens of tracer frames — the default 1000-frame limit blew up inside
+# the mixed eigensx trace (r4 sweep: "maximum recursion depth exceeded")
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
 
 import numpy as np
 

@@ -263,7 +263,7 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     # tau phases of <= EK_WF_BT_STREAM bytes each (z re-reads cost only
     # n*k*4 bytes per extra phase — negligible next to the stream)
     stream_budget = int(os.environ.get("EK_WF_BT_STREAM",
-                                       str(int(3.0 * 2 ** 30))))
+                                       str(int(2.2 * 2 ** 30))))
     max_phases = int(os.environ.get("EK_WF_BT_PHASES", "8"))
     nph = max(1, -(-stream_bytes // stream_budget))
     if (n <= 2 or bw < 2 or res.HV.shape[0] < n or b % 8 != 0
@@ -309,8 +309,10 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     tc = -(-Tq2 // nph)
     U = nph * tc
 
-    X, Xt = group_stores(res, n, b, g)
-    hvu, htu = _composite_views(X, Xt, m, U)
+    # inline so the group-major store and its padded copy die as soon as
+    # the composite views are materialized — keeping X alive through the
+    # phase loop cost ~2.2 GB of the 16k HBM peak in eager callers
+    hvu, htu = _composite_views(*group_stores(res, n, b, g), m, U)
 
     kern = functools.partial(_wf_bt_kernel, n=n, b=b, g=g, m=m, nG=nG,
                              Tm=Tm, top=top, dead=dead, s2c=S2c,

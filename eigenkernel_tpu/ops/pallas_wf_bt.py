@@ -282,7 +282,9 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     top += (-(top + nsweeps + 1 - g)) % 8
     dead = -(-(top + n + m * b + 8) // 8) * 8
     rows_frame = dead + S2c
-    vmem_budget = int(os.environ.get("EK_WF_BT_VMEM", str(100 * 2 ** 20)))
+    # 110 MB hardware-validated at n=16384 (r4e wfv3_16384_vmem: tk=256
+    # compiles and runs, 2.586 s warm vs 3.409 s at the old 100 MB/tk=128)
+    vmem_budget = int(os.environ.get("EK_WF_BT_VMEM", str(110 * 2 ** 20)))
     tk = int(os.environ.get("EK_WF_BT_TK", "512"))
     # Mosaic double-buffers every window: 2 levels x (z-in + z-out tiles)
     # + 2 levels x the Q block (verified against the 16k compile report:
@@ -300,8 +302,12 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     zp = jnp.zeros((rows_frame, kp), dtype)
     zp = lax.dynamic_update_slice(zp, z, (top, 0))
 
-    prec = dict(high=lax.Precision.HIGH)[os.environ["EK_WF_BT_PREC"]] \
-        if os.environ.get("EK_WF_BT_PREC") else lax.Precision.HIGHEST
+    # Mosaic only lowers DEFAULT and HIGHEST dot precisions (HIGH raises
+    # NotImplementedError at lowering, r4e wfv3_8192_prec_high) — expose
+    # just those two; "default" = 1-pass bf16 products, A/B only.
+    prec = (lax.Precision.DEFAULT
+            if os.environ.get("EK_WF_BT_PREC") == "default"
+            else lax.Precision.HIGHEST)
     live = os.environ.get("EK_WF_BT_LIVE", "1") != "0"
     # uniform phase length: all phases share one compiled program (the
     # tau offset is a runtime scalar); dead tail taus are never read by

@@ -145,10 +145,18 @@ def sep_two_stage(ctx, a: jax.Array, n_vec: int):
         # until hardware-validated.
         bt_method = "wavefront" if (jax.default_backend() == "tpu"
                                     and ctx.mesh is None) else "blocked"
-        # VMEM-tile composite kernel (pallas_wf_bt v3): opt-in until the
-        # r4d hardware ladder lands; it falls back to the XLA wavefront
-        # internally outside its envelope, so routing is always safe
-        if bt_method == "wavefront" and os.environ.get("EK_BT_WFP") == "1":
+        # VMEM-tile composite kernel (pallas_wf_bt v3), hardware-
+        # validated r4 (evidence/WF_BT_r4.md): wins at full spectrum for
+        # n>=8192 (8192: 1.49 s vs wavefront 1.55; 16384: 2.59 s vs
+        # 12.0) — the XLA wavefront stays better at n<=4096 (wf_pallas
+        # 1.87 s) and on the selecting path (k=500/16k: wavefront
+        # 0.68 s; the P stream is O(n^2) regardless of k).  It falls
+        # back to the XLA wavefront internally outside its envelope,
+        # so routing is always safe.  EK_BT_WFP=1/0 forces/blocks it.
+        wfp = os.environ.get("EK_BT_WFP")
+        if bt_method == "wavefront" and (
+                wfp == "1" or (wfp != "0" and n >= 8192
+                               and 2 * n_vec >= n)):
             bt_method = "wf_pallas"
     z = _run(ctx, "sep:back_transform", _j_back_transform_two_stage,
              band_res, chase, z, bw, ctx.mesh, bt_method,

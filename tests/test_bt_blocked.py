@@ -44,7 +44,8 @@ def test_wavefront_matches_unblocked(n, bw, g):
 
 
 @pytest.mark.parametrize("n,bw,g", [(160, 32, 32), (224, 32, 64),
-                                    (130, 16, 32), (296, 32, 96)])
+                                    (130, 16, 32), (296, 32, 96),
+                                    (256, 64, 64)])
 def test_wavefront_pallas_matches_unblocked(n, bw, g):
     # VMEM-tile pallas kernel (interpret mode): hoisted P-stream window
     # transforms, 8-aligned dynamic-row window loads, dead-lane

@@ -112,8 +112,14 @@ def main() -> int:
             continue
         log = EventLog(stream=False)
         try:
-            # warm-up/compile
-            p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg)
+            # warm-up/compile WITH a throwaway log: the tick barrier
+            # compiles one tiny dependent-scalar program per stage-output
+            # shape, and on the remote TPU those compiles cost seconds —
+            # without this they land inside the timed run and get
+            # misattributed to stages (r4e sweep: scalapack
+            # "tridiagonalize 11.19 s" was a barrier compile)
+            p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg,
+                      log=EventLog(stream=False))
             jax.device_get(p.values[:1])
             t0 = time.time()
             p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg, log=log)

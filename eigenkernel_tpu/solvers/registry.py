@@ -126,6 +126,11 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
     * single-chip TPU, small n: XLA's fused QDWH ``eigh`` wins while the
       staged pipeline is latency-bound (measured 0.06 s vs 0.47+ s at
       n = 1024); crossover knob EK_AUTO_EIGH_MAX (default 1024);
+    * single-chip TPU, large n: the two-stage pipeline (Pallas VMEM
+      chase + wf_bt v3 Pallas back-transform) — measured 9.67 s vs
+      one-stage's 12.24 s at n = 16384 full spectrum (RESULTS_r4.md
+      r4e stages16k_wfp); still loses at 8192 (2.02 vs 1.68 s), so the
+      crossover knob EK_AUTO_TWOSTAGE_MIN defaults to 12288;
     * everything else: the one-stage pipeline (tridiagonalization runs at
       78-90 % of the HBM roofline; measured 0.25 s vs eigh's 0.58 s at
       n = 4096), with the ELPA-style reduction for generalized problems
@@ -146,6 +151,9 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
     eigh_max = int(os.environ.get("EK_AUTO_EIGH_MAX", "1024"))
     if backend == "tpu" and not on_mesh and n <= eigh_max:
         return "general_eigh" if generalized else "eigh"
+    twostage_min = int(os.environ.get("EK_AUTO_TWOSTAGE_MIN", "12288"))
+    if backend == "tpu" and not on_mesh and n >= twostage_min:
+        return "general_elpa_eigensx" if generalized else "eigensx"
     return "general_elpa_scalapack" if generalized else "scalapack"
 
 

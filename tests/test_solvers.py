@@ -155,9 +155,21 @@ def test_auto_solver_resolution(problem, monkeypatch):
     # on a mesh the fused single-device eigh is not applicable
     assert resolve_auto("auto", 512, False, False, True, "tpu") == \
         "scalapack"
-    # crossover knob
+    # single-chip TPU very large n: the two-stage pipeline wins
+    # (9.67 s vs 12.24 s at 16384, RESULTS_r4.md r4e)
+    assert resolve_auto("auto", 16384, False, False, False, "tpu") == \
+        "eigensx"
+    assert resolve_auto("general_auto", 16384, True, False, False,
+                        "tpu") == "general_elpa_eigensx"
+    # ... but not on a mesh (chunked-chase routing measured separately)
+    assert resolve_auto("auto", 16384, False, False, True, "tpu") == \
+        "scalapack"
+    # crossover knobs
     monkeypatch.setenv("EK_AUTO_EIGH_MAX", "4096")
     assert resolve_auto("auto", 4096, False, False, False, "tpu") == "eigh"
+    monkeypatch.setenv("EK_AUTO_TWOSTAGE_MIN", "8192")
+    assert resolve_auto("auto", 8192, False, False, False, "tpu") == \
+        "eigensx"
     # kind mismatch raises the registry error
     with pytest.raises(UnknownSolverError):
         resolve_auto("auto", 512, True, False, False, "cpu")

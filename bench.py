@@ -294,14 +294,17 @@ def _bench_extras(jnp, solve, fl, n_head: int, platform: str) -> dict:
     ad = jnp.asarray(_sym(n, "float64"))
     out[f"mixed_m{n}"] = _row(solve, ad, solver="auto", dtype="mixed")
 
-    # generalized EVP, two-stage flagship (BASELINE.json metric)
+    # generalized EVP (BASELINE.json metric), auto-resolved winner
     n = int(os.environ.get("EK_BENCH_GEN_N", "4096"))
     ad = jnp.asarray(_sym(n, "float32"))
     bd = jnp.asarray(_spd(n, "float32"))
-    r = _row(solve, ad, bd, solver="general_elpa2", block_size=64)
-    spec_fl = fl.pipeline_flops("two_stage", True, "scalapack",
-                                n, n, 64)
+    r = _row(solve, ad, bd, solver="general_auto", block_size=64)
+    from eigenkernel_tpu.solvers.registry import get_spec, resolve_auto
+    gname = resolve_auto("general_auto", n, True, False, False, platform)
+    gspec = get_spec(gname)
+    spec_fl = fl.pipeline_flops(gspec.core, True, gspec.reduction, n, n, 64)
     if "s" in r:
+        r["solver"] = gname
         r["tflops"] = round(spec_fl / r["s"] / 1e12, 3)
     out[f"gen_m{n}"] = r
 

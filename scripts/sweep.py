@@ -131,6 +131,8 @@ def main() -> int:
                          "stages": {e["name"]: round(e["val"], 4)
                                     for e in log.events()}})
         except Exception as exc:  # keep sweeping (reference: terminate())
+            import traceback
+            traceback.print_exc(file=sys.stderr)
             rows.append({"solver": name, "error": str(exc)[:120]})
         print(json.dumps(rows[-1]), flush=True)
 

@@ -143,11 +143,14 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
         b = jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], axis=0)
     if out_dtype is None:
         out_dtype = jnp.zeros((), jnp.float64).dtype
-    a_blk = a.reshape(m, nkc, kc).transpose(1, 0, 2)
-    b_blk = b.reshape(nkc, kc, n)
 
-    def body(c, blk):
-        ab, bb = blk
+    def body(c, i):
+        # dynamic-slice chunk views, NOT pre-stacked (nkc, m, kc) block
+        # copies: the stacked transpose materialized BOTH full operands
+        # again (2-4 GB each at n=16384) and double-buffered them across
+        # the scan — a large share of the refine16k 74 GB HBM plan
+        ab = lax.dynamic_slice(a, (0, i * kc), (a.shape[0], kc))
+        bb = lax.dynamic_slice(b, (i * kc, 0), (kc, b.shape[1]))
         op_a = split_slices(ab, 1, q, beta)
         op_b = split_slices(bb, 0, q, beta)
         hi = jnp.zeros((m, n), jnp.float32)
@@ -167,7 +170,7 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
         return c, None
 
     c0 = jnp.zeros((m, n), out_dtype)
-    c, _ = lax.scan(body, c0, (a_blk, b_blk))
+    c, _ = lax.scan(body, c0, jnp.arange(nkc))
     return c
 
 

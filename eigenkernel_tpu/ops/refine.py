@@ -32,6 +32,7 @@ All O(n^2 k) work is 3 GEMMs per step, mesh-shardable.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -83,18 +84,17 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     # full-width ozaki splits do not fit HBM (>10 GB/operand pair at
     # n=16384) and the unrolled slice-pair GEMMs inflated the XLA memory
     # plan to 290 GB (r4 chain) — switch to the scan-serialized chunked
-    # GEMM and a short schedule: TWO full-depth (md=9, floor ~2^-45)
-    # steps.  Measured (n=160 forced-big probe): "9,9" 1.3e-13 / "6,9"
-    # 3.5e-12 (a truncated first step leaves the period-2 oscillation
-    # mid-cycle — see module docstring) / "6,6,9" 2.4e-13 at 3 steps.
+    # GEMM.  NOTE: on TPU api.solve routes huge n to refine_stepwise
+    # (host-stepped, donated buffers) instead of jitting this whole
+    # function; this branch remains for direct library use.
     big = a.shape[0] > int(os.environ.get("EK_REFINE_CHUNK_MIN", "8192"))
     if gemm_mode == "ozaki" and big:
         from eigenkernel_tpu.ops import ozaki
 
-        if "EK_REFINE_STEPS" not in os.environ:
-            steps = min(steps, 2)
+        # 6 steps with a cheap first step (see refine_stepwise — the
+        # 2-step "9,9" schedule fails from pipeline-quality starts)
         sched = [int(x) for x in os.environ.get(
-            "EK_REFINE_OZAKI_SCHED_BIG", "9,9").split(",")]
+            "EK_REFINE_OZAKI_SCHED_BIG", "5,9").split(",")]
 
         def _residual_mats(v, md=None, s_only=False):
             av = _wsc(ozaki.ozaki_matmul_chunked(
@@ -233,6 +233,127 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
                                          out_dtype=dtype), mesh)
         else:
             bv = _wsc(b @ v, mesh)
+        lam = lam / jnp.sum(v * bv, axis=0)
+    order = jnp.argsort(lam)
+    return lam[order], v[:, order]
+
+
+def use_stepwise(n: int) -> bool:
+    """Huge-n routing predicate for :func:`refine_stepwise` (api.solve
+    calls it OUTSIDE the jit — a host-level step loop cannot run under
+    one).  True on TPU above EK_REFINE_CHUNK_MIN (default 8192) when the
+    ozaki GEMM path is selected."""
+    import os
+
+    force = os.environ.get("EK_REFINE_STEPWISE")
+    if force is not None:
+        return force == "1"
+    if jax.default_backend() != "tpu":
+        return False
+    gemm_mode = os.environ.get("EK_REFINE_GEMM", "auto")
+    if gemm_mode not in ("auto", "ozaki"):
+        return False
+    return n > int(os.environ.get("EK_REFINE_CHUNK_MIN", "8192"))
+
+
+def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
+                    mesh: Optional[Mesh] = None, gap_factor: float = 30.0):
+    """Memory-bounded huge-n refinement: one jit per Newton step with the
+    eigenvector block DONATED, plus a jitted cluster-cleanup finalize.
+
+    Rationale: jitting the whole refinement (2 unrolled steps + cleanup,
+    api._j_refine) at n = 16384 produced a 74 GB XLA memory plan — every
+    step's n^2 f64 temps (S, R, F, dl, E, ...) and the chunked-GEMM scan
+    buffers stay live across the unrolled program.  Splitting at step
+    granularity caps the plan at one step's working set, donation lets
+    XLA alias v across steps, and the O(err)-sized correction algebra
+    runs in f32 (its absolute error is err * eps32 — far below the
+    1e-12 bar; the residual-forming GEMMs stay ozaki-exact f64).
+    """
+    import os
+
+    # 6 steps, NOT the 2-step schedule the r4c n=160 probe suggested:
+    # from a PIPELINE-quality start (resid ~1e-6) on clustered spectra
+    # (VCNT400std) the period-2 oscillation needs the full 6 steps
+    # (measured: s2 5.6e-9 / s4 7.9e-7(!) / s6 7.9e-13); a cheap md=5
+    # first step is as accurate as full depth ("5,9" 9.2e-13).
+    steps = int(os.environ.get("EK_REFINE_STEPS", "6"))
+    sched = [int(x) for x in os.environ.get(
+        "EK_REFINE_OZAKI_SCHED_BIG", "5,9").split(",")]
+    dtype = a.dtype
+    v = v.astype(dtype)
+    if b is not None:
+        b = b.astype(dtype)
+    tiny = jnp.asarray(jnp.inf, dtype)
+    for step_i in range(steps):
+        md = sched[min(step_i, len(sched) - 1)]
+        v, tiny = _j_step_big(a, v, b, tiny, md, gap_factor, mesh)
+    return _j_finalize_big(a, v, b, mesh)
+
+
+@partial(jax.jit, static_argnames=("md", "gap_factor", "mesh"),
+         donate_argnums=(1,))
+def _j_step_big(a, v, b, tiny_prev, md, gap_factor, mesh):
+    from eigenkernel_tpu.ops import ozaki
+
+    dtype = a.dtype
+    av = _wsc(ozaki.ozaki_matmul_chunked(a, v, out_dtype=dtype,
+                                         max_diag=md), mesh)
+    s = _wsc(ozaki.ozaki_matmul_chunked(v.T, av, out_dtype=dtype,
+                                        max_diag=md), mesh)
+    del av
+    if b is None:
+        r = _wsc(ozaki.ozaki_matmul_chunked(v.T, v, out_dtype=dtype,
+                                            max_diag=md), mesh)
+    else:
+        bv = _wsc(ozaki.ozaki_matmul_chunked(b, v, out_dtype=dtype,
+                                             max_diag=md), mesh)
+        r = _wsc(ozaki.ozaki_matmul_chunked(v.T, bv, out_dtype=dtype,
+                                            max_diag=md), mesh)
+        del bv
+    lam = jnp.diagonal(s) / jnp.diagonal(r)
+    k = v.shape[1]
+    f32 = jnp.float32
+    ii = lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    jj = lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    diag_mask = ii == jj
+    # F = I - R formed in f64 (the diagonal is a small difference of
+    # O(1) values), THEN cast: f32 keeps 1e-7 RELATIVE accuracy of the
+    # O(err)-sized entries — absolute err*eps32, below the 1e-12 bar.
+    f = jnp.where(diag_mask, 1.0 - r, -r).astype(f32)
+    s32 = s.astype(f32)
+    del r, s
+    lam32 = lam.astype(f32)
+    # the GAP must be formed in f64 then cast (not from f32-rounded
+    # lam): eps32*|lam| absolute noise corrupts/flips near-cluster gaps
+    dl = (lam[None, :] - lam[:, None]).astype(f32)
+    scale = jnp.maximum(jnp.max(lam) - jnp.min(lam), jnp.finfo(dtype).tiny)
+    err_est = jnp.max(jnp.abs(f)).astype(dtype)
+    floor = 100.0 * jnp.sqrt(jnp.finfo(dtype).eps)
+    tiny = scale * jnp.maximum(jnp.sqrt(gap_factor * err_est), floor)
+    tiny = jnp.minimum(tiny, tiny_prev)  # monotone (see refine_eigenpairs)
+    safe = jnp.abs(dl) > tiny.astype(f32)
+    e_off = jnp.where(safe, (s32 + f * lam32[None, :]) /
+                      jnp.where(safe, dl, 1.0), f * 0.5)
+    e = jnp.where(diag_mask, f * 0.5, e_off)
+    dv = v.astype(f32) @ e
+    v = _wsc(v + dv.astype(dtype), mesh)
+    return v, tiny
+
+
+@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
+def _j_finalize_big(a, v, b, mesh):
+    from eigenkernel_tpu.ops import ozaki
+
+    dtype = a.dtype
+    av = ozaki.ozaki_matmul_chunked(a, v, out_dtype=dtype)
+    s = _wsc(ozaki.ozaki_matmul_chunked(v.T, av, out_dtype=dtype), mesh)
+    del av
+    s, j_rot = _adjacent_jacobi(s, passes=6)
+    v = _wsc(ozaki.ozaki_matmul_chunked(v, j_rot, out_dtype=dtype), mesh)
+    lam = jnp.diagonal(s)
+    if b is not None:
+        bv = _wsc(ozaki.ozaki_matmul_chunked(b, v, out_dtype=dtype), mesh)
         lam = lam / jnp.sum(v * bv, axis=0)
     order = jnp.argsort(lam)
     return lam[order], v[:, order]

@@ -190,8 +190,14 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         b64 = _pad_place(b, n, n_pad, f64, sharding, eye=True) \
             if b is not None else None
         v_pad = jnp.zeros((n_pad, n_vec), vectors.dtype).at[:n, :].set(vectors)
+        from eigenkernel_tpu.ops.refine import refine_stepwise, use_stepwise
         with jax.default_matmul_precision("highest"):
-            values, v_pad = _j_refine(a64, v_pad, b64, ctx_mesh)
+            if use_stepwise(n_pad):
+                # huge-n TPU path: host-level step loop with donated v —
+                # one whole-refinement jit planned 74 GB HBM at n=16384
+                values, v_pad = refine_stepwise(a64, v_pad, b64, ctx_mesh)
+            else:
+                values, v_pad = _j_refine(a64, v_pad, b64, ctx_mesh)
         vectors = v_pad[:n, :]
         ctx.tick("solve:refine", t0, (values, vectors))
 

@@ -138,3 +138,38 @@ def test_refine_big_path(monkeypatch):
     # the 2-step big schedule trades a little orthogonality (probe:
     # ~5e-12) for ~3x less cost than the small-n 6-step default
     assert orth < 2e-11, orth
+
+
+def test_refine_stepwise_matches_big(monkeypatch):
+    # the host-stepped huge-n driver (refine_stepwise: one donated jit
+    # per Newton step + jitted finalize, the n>8192 TPU memory fix) must
+    # reach the same 1e-12 bar as the single-jit big branch
+    import jax.numpy as jnp
+
+    from eigenkernel_tpu.ops.refine import refine_stepwise, use_stepwise
+
+    monkeypatch.setenv("EK_REFINE_STEPWISE", "1")
+    monkeypatch.setenv("EK_OZAKI_KC", "96")
+    assert use_stepwise(160)
+    n = 160
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((n, n))
+    a = (a + a.T) / 2
+    w32, v32 = np.linalg.eigh(a.astype(np.float32))
+    lam, v = refine_stepwise(jnp.asarray(a), jnp.asarray(v32))
+    lam, v = np.asarray(lam), np.asarray(v)
+    resid = np.max(np.abs(a @ v - v * lam[None, :])) / np.linalg.norm(a)
+    orth = np.max(np.abs(v.T @ v - np.eye(n)))
+    assert resid < 1e-12, resid
+    assert orth < 2e-11, orth
+    # generalized: B-orthonormal refinement through the same driver
+    b = rng.standard_normal((n, n)) * 0.1
+    b = b @ b.T + n * np.eye(n)
+    from scipy.linalg import eigh as scipy_eigh
+    wg, vg = scipy_eigh(a.astype(np.float32), b.astype(np.float32))
+    lam, v = refine_stepwise(jnp.asarray(a), jnp.asarray(vg),
+                             b=jnp.asarray(b))
+    lam, v = np.asarray(lam), np.asarray(v)
+    resid = np.max(np.abs(a @ v - (b @ v) * lam[None, :])) \
+        / np.linalg.norm(a)
+    assert resid < 1e-12, resid

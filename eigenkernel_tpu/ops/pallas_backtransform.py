@@ -47,6 +47,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from eigenkernel_tpu.ops._pallas_x32 import kernel_trace_ctx
 from jax import lax
 
 from jax.experimental import pallas as pl
@@ -131,7 +133,7 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
                                    axis=1), 0)
     w_shift = w_shift.reshape(n, tp, bw)
 
-    out = pl.pallas_call(
+    pcall = pl.pallas_call(
         functools.partial(_backtransform_kernel, n=n, tp=tp, bw=bw),
         grid=(kpad // _TK,),
         in_specs=[
@@ -147,5 +149,9 @@ def apply_chase_q_pallas(hv: jax.Array, ht: jax.Array, z: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(w_shift, zp)
+    )
+    # x64 off for the kernel trace: weak scalars must stay 32-bit or
+    # Mosaic's 64-bit convert lowering recurses (see pallas_chase.py)
+    with kernel_trace_ctx(dtype):
+        out = pcall(w_shift, zp)
     return out[:n, :k]

@@ -51,6 +51,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from eigenkernel_tpu.ops._pallas_x32 import kernel_trace_ctx
 from jax import lax
 
 from jax.experimental import pallas as pl
@@ -150,7 +152,11 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     # pivot column x[r] = v1[r, s], s = b for the t==0 lane else 1.
     # In window coords that is the no-wrap diagonal win[r, (s+b-1) - r],
     # extracted straight from win with a masked reduce.
-    colx = jnp.where(t == 0, 2 * b - 1, b)[:, :, None]   # (G, 1, 1)
+    # explicit int32: weak-typed Python ints select as int64 under
+    # jax_enable_x64 and Mosaic's 64-bit convert lowering recurses
+    # forever (r4 mixed-eigensx RecursionError)
+    colx = jnp.where(t == 0, jnp.int32(2 * b - 1),
+                     jnp.int32(b))[:, :, None]           # (G, 1, 1)
     xmask = (cw_ == colx - rw_) & (rw_ < b)
     x = jnp.sum(win[:, :b, :] * xmask.astype(dtype), axis=2)
     x = x * live.astype(dtype)                           # (G, b)
@@ -159,7 +165,8 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     sigma = jnp.sum(xt * xt, axis=1, keepdims=True)      # (G, 1)
     zero_tail = sigma == 0
     alpha0 = x[:, :1]                                    # (G, 1)
-    sgn = jnp.where(alpha0 >= 0, 1.0, -1.0).astype(dtype)
+    one = jnp.asarray(1.0, dtype)  # not weak 1.0: f64 select under x64
+    sgn = jnp.where(alpha0 >= 0, one, -one)
     beta = jnp.where(zero_tail, alpha0,
                      -sgn * jnp.sqrt(alpha0 * alpha0 + sigma))
     denom = jnp.where(zero_tail, 1.0, alpha0 - beta).astype(dtype)
@@ -484,7 +491,7 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
                                  "EK_PALLAS_CHASE_DBG", "2")))
     state_shape = (rows_tot // 8, 8, Wp) if align_c else (rows_tot, Wp)
     w_in = w.reshape(state_shape)
-    wout, vt = pl.pallas_call(
+    pcall = pl.pallas_call(
         kern,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -509,7 +516,13 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
             vmem_limit_bytes=int(os.environ["EK_PALLAS_CHASE_VMEM"])
             if os.environ.get("EK_PALLAS_CHASE_VMEM") else None),
         interpret=interpret,
-    )(w_in)
+    )
+    # trace the kernel with x64 off: weak Python scalars otherwise
+    # canonicalize to int64/float64 under dtype='mixed' and Mosaic's
+    # 64-bit convert lowering recurses to RecursionError (r4 sweep);
+    # all operands are explicit f32/int32 so this changes nothing else
+    with kernel_trace_ctx(dtype):
+        wout, vt = pcall(w_in)
     wout = wout.reshape(rows_tot, Wp)
     vt = vt.reshape(n_steps * fuse, nW, b + 1)[:tau_max]
 

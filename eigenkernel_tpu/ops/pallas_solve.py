@@ -21,6 +21,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from eigenkernel_tpu.ops._pallas_x32 import kernel_trace_ctx
 from jax import lax
 
 from jax.experimental import pallas as pl
@@ -134,7 +136,7 @@ def tridiag_solve_pallas(d: jax.Array, e: jax.Array, lam: jax.Array,
     tiny_val = 1e-30 if dtype == jnp.float64 else 1e-25
 
     shape4 = jax.ShapeDtypeStruct((g, npad, _SUB, _LANE), dtype)
-    x4, _, _ = pl.pallas_call(
+    pcall = pl.pallas_call(
         functools.partial(_solve_kernel, n=npad, tiny=tiny_val),
         grid=(g,),
         in_specs=[
@@ -162,7 +164,13 @@ def tridiag_solve_pallas(d: jax.Array, e: jax.Array, lam: jax.Array,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(dp.reshape(npad, 1), el.reshape(npad, 1), er.reshape(npad, 1),
-      lam4, b4)
+    )
+    # x64 off for the kernel trace: weak scalars must stay 32-bit or
+    # Mosaic's 64-bit convert lowering recurses (see pallas_chase.py).
+    # Strong f64 operands keep their dtype — only Python literals are
+    # canonicalized.
+    with kernel_trace_ctx(dtype):
+        x4, _, _ = pcall(dp.reshape(npad, 1), el.reshape(npad, 1),
+                         er.reshape(npad, 1), lam4, b4)
     x = x4.transpose(1, 0, 2, 3).reshape(npad, kpad)
     return x[:n, :k]

@@ -26,6 +26,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from eigenkernel_tpu.ops._pallas_x32 import kernel_trace_ctx
 from jax import lax
 
 from jax.experimental import pallas as pl
@@ -100,7 +102,7 @@ def sturm_bisect(d: jax.Array, e: jax.Array, indices: jax.Array,
     lo = jnp.full((grid * _SUB, _LANE), lo0, dtype)
     hi = jnp.full((grid * _SUB, _LANE), hi0, dtype)
 
-    out = pl.pallas_call(
+    pcall = pl.pallas_call(
         functools.partial(_sturm_bisect_kernel, n=n, iters=iters),
         grid=(grid,),
         in_specs=[
@@ -119,5 +121,9 @@ def sturm_bisect(d: jax.Array, e: jax.Array, indices: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid * _SUB, _LANE), dtype),
         interpret=interpret,
-    )(d2d, e22d, tgt, lo, hi)
+    )
+    # x64 off for the kernel trace (see pallas_chase.py): strong f64
+    # operands keep their dtype, only weak Python literals canonicalize
+    with kernel_trace_ctx(dtype):
+        out = pcall(d2d, e22d, tgt, lo, hi)
     return out.reshape(-1)[:k]

@@ -78,6 +78,8 @@ import os
 
 import jax
 import jax.numpy as jnp
+
+from eigenkernel_tpu.ops._pallas_x32 import kernel_trace_ctx
 from jax import lax
 
 from jax.experimental import pallas as pl
@@ -341,5 +343,7 @@ def apply_chase_q_wavefront_pallas(res: ChaseResult, z: jax.Array,
     for i in range(nph):
         pst = _q_stream(hvu[i * tc:(i + 1) * tc],
                         htu[i * tc:(i + 1) * tc], g, b, m)
-        zp = pcall(jnp.full((1,), i * tc, jnp.int32), pst, zp)
+        # x64 off for the kernel trace (see pallas_chase.py)
+        with kernel_trace_ctx(dtype):
+            zp = pcall(jnp.full((1,), i * tc, jnp.int32), pst, zp)
     return zp[top:top + n, :k]

@@ -66,7 +66,17 @@ def _measure(solve, ad, bd=None, *, repeats=3, log=None, **solve_kw):
 
     args = (ad,) if bd is None else (ad, bd)
     t0 = time.time()
-    p = solve(*args, **solve_kw)
+    # warm up WITH a throwaway log: the tick barrier compiles one tiny
+    # dependent-scalar program per stage-output shape, and on the remote
+    # TPU those compiles cost seconds — without this they land inside
+    # the logged timed run and get misattributed to stages (r4e bench:
+    # "tridiagonalize 2.20 s" inside a 0.25 s solve, skewing hbm_frac)
+    if log is not None:
+        from eigenkernel_tpu.obs.events import EventLog
+
+        p = solve(*args, log=EventLog(stream=False), **solve_kw)
+    else:
+        p = solve(*args, **solve_kw)
     _sync_scalar(p.values)
     compile_s = time.time() - t0
     times = []

@@ -117,9 +117,8 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
 
     The reference's whole point is comparing solver combinations to "find
     the best one" (README.md:4-5) — ``auto`` encodes the winners of the
-    committed TPU measurements (evidence/SWEEP_r4.md once the round-4
-    sweep lands; the per-decision probes are cited inline below).
-    Heuristics:
+    committed TPU measurements (evidence/SWEEP_r4.md; the per-decision
+    probes are cited inline below).  Heuristics:
 
     * selecting: the pdsyevx-analog path (which itself picks the two-stage
       core on TPU at n >= 2048, solvers/api.py);
@@ -132,9 +131,11 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
       r4e stages16k_wfp); still loses at 8192 (2.02 vs 1.68 s), so the
       crossover knob EK_AUTO_TWOSTAGE_MIN defaults to 12288;
     * everything else: the one-stage pipeline (tridiagonalization runs at
-      78-90 % of the HBM roofline; measured 0.25 s vs eigh's 0.58 s at
-      n = 4096), with the ELPA-style reduction for generalized problems
-      (GEMM-rich inverse application beats the trsm chain on the MXU).
+      78-90 % of the HBM roofline; measured 0.53 s vs eigh's 0.65 s at
+      n = 4096, evidence/SWEEP_r4.md sweep_std4096c), with the pdsyngst-
+      style half-matrix reduction for generalized problems — the measured
+      winner of the 12-name generalized sweep (0.674 s at n = 4096; all
+      one-stage reductions within 3 %, sweep_gen4096c).
     """
     import os
 
@@ -154,7 +155,7 @@ def resolve_auto(name: str, n: int, generalized: bool, selecting: bool,
     twostage_min = int(os.environ.get("EK_AUTO_TWOSTAGE_MIN", "12288"))
     if backend == "tpu" and not on_mesh and n >= twostage_min:
         return "general_elpa_eigensx" if generalized else "eigensx"
-    return "general_elpa_scalapack" if generalized else "scalapack"
+    return "general_scalapacknew_eigens" if generalized else "scalapack"
 
 
 class UnknownSolverError(ValueError):

@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--matrix", default="")
     ap.add_argument("--matrix-b", default="")
     ap.add_argument("--solvers", default="")
+    ap.add_argument("--select-k", type=int, default=0,
+                    help="also sweep the selecting solvers at n_vec=K")
     ap.add_argument("--platform", default="")
     ap.add_argument("--budget-s", type=float, default=0.0,
                     help="skip solvers not yet started after this many "
@@ -99,10 +101,14 @@ def main() -> int:
     names = args.solvers.split(",") if args.solvers else [
         s.name for s in SOLVERS.values()
         if s.generalized == generalized and not s.selecting]
+    if args.select_k and not args.solvers:
+        names += [s.name for s in SOLVERS.values()
+                  if s.generalized == generalized and s.selecting]
     dtype_arg = "mixed" if args.dtype == "mixed" else None
 
     rows = []
     for name in names:
+        n_vec = args.select_k if SOLVERS[name].selecting else None
         spec = SOLVERS[name]
         if spec.single_device and mesh is not None:
             pass  # lapack ignores the mesh by design
@@ -119,14 +125,16 @@ def main() -> int:
             # misattributed to stages (r4e sweep: scalapack
             # "tridiagonalize 11.19 s" was a barrier compile)
             p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg,
-                      log=EventLog(stream=False))
+                      n_vec=n_vec, log=EventLog(stream=False))
             jax.device_get(p.values[:1])
             t0 = time.time()
-            p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg, log=log)
+            p = solve(a, b, solver=name, mesh=mesh, dtype=dtype_arg,
+                      n_vec=n_vec, log=log)
             jax.device_get(p.values[:1] + p.vectors[0, :1])
             dt = time.time() - t0
             _, _, rmax = eval_residual_norm(a, p, min(p.n_vec, 64), b)
             rows.append({"solver": name, "time_s": round(dt, 4),
+                         **({"n_vec": n_vec} if n_vec else {}),
                          "resid_max": float(f"{rmax:.3e}"),
                          "stages": {e["name"]: round(e["val"], 4)
                                     for e in log.events()}})

@@ -150,8 +150,10 @@ def test_auto_solver_resolution(problem, monkeypatch):
     assert resolve_auto("auto", 1024, False, False, False, "tpu") == "eigh"
     assert resolve_auto("auto", 4096, False, False, False, "tpu") == \
         "scalapack"
+    # gen mid-range: the measured 12-name sweep winner (pdsyngst-style
+    # half-matrix reduction, evidence/SWEEP_r4.md sweep_gen4096c)
     assert resolve_auto("general_auto", 4096, True, False, False, "tpu") == \
-        "general_elpa_scalapack"
+        "general_scalapacknew_eigens"
     # on a mesh the fused single-device eigh is not applicable
     assert resolve_auto("auto", 512, False, False, True, "tpu") == \
         "scalapack"

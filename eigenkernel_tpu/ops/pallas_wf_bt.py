@@ -111,8 +111,12 @@ def _wf_bt_kernel(toff_ref, p_ref, zin_ref, zout_ref, *,
         else:
             # full-range loop: dead lanes' stream rows are garbage (the
             # flat-stride view aliases other groups), so clamp them to
-            # the shared dead row by LIVENESS, not by row value
-            ok = jnp.logical_and(u >= G, u - G < Tm)
+            # the shared dead row by LIVENESS — and ALSO by row value:
+            # tail-dead windows (zero reflectors ⇒ P = I, row0 up to
+            # ~2n) would otherwise load/store past the z frame (Mosaic
+            # dynamic row offsets are not bounds-checked on hardware)
+            ok = jnp.logical_and(jnp.logical_and(u >= G, u - G < Tm),
+                                 row0 < top + n)
             r0 = jnp.where(ok, jnp.maximum(row0, 0), dead)
         r0 = pl.multiple_of(r0, 8)
         pg = p_ref[0, pl.ds(G * S2, S2), :]      # (S2, s2c); cols>=S2 zero

@@ -64,7 +64,12 @@ class SolverContext:
             # stage barrier on every backend.
             for leaf in jax.tree_util.tree_leaves(out):
                 if isinstance(leaf, jax.Array) and leaf.size:
-                    float(jnp.sum(jnp.ravel(leaf)[:1]))
+                    # slice ONE element per axis first — jnp.ravel on the
+                    # whole leaf materializes a full O(n^2) device copy
+                    # before the slice (extra HBM traffic charged to the
+                    # timed stage, r4 ADVICE)
+                    one = leaf[(slice(0, 1),) * leaf.ndim]
+                    float(jnp.sum(one))
             jax.block_until_ready(out)
             dt = time.time() - t0
             self.log.add_event(name, dt)

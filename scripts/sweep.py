@@ -108,7 +108,9 @@ def main() -> int:
 
     rows = []
     for name in names:
-        n_vec = args.select_k if SOLVERS[name].selecting else None
+        # a selecting name passed via --solvers without --select-k gets a
+        # sane default (None ⇒ solve() picks full/k default), not k=0
+        n_vec = (args.select_k or None) if SOLVERS[name].selecting else None
         spec = SOLVERS[name]
         if spec.single_device and mesh is not None:
             pass  # lapack ignores the mesh by design

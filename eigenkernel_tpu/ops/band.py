@@ -51,20 +51,24 @@ def _qr_panel(p: jax.Array, pivot0, b: int):
     above.  Returns (V, taus); ``p``'s R factor is not needed by callers
     (the uniform WY update regenerates it).
 
-    The loop state is kept TRANSPOSED (b, n): a (n, b<=32) carry
-    lane-pads b -> 128 on TPU (4x traffic on a loop that rereads the
-    whole panel every step — ~0.5 s of the to_band total at n=16384),
-    while (b, n) uses b sublanes exactly.  Reflectors become lane-dim
-    row vectors; the panel update is one rank-1 broadcast.
+    Two loop-state layouts, EK_QR_PANEL selects (default ``n``):
+
+    * ``n``: (n, b) carry — the r1-r4s3 form.  Hardware-measured to_band
+      at 8192/16384: 0.354 / 1.755 s (evidence/SWEEP_r5.md).
+    * ``t``: TRANSPOSED (b, n) carry — meant to avoid lane-padding
+      b -> 128, but the first dedicated timings read 1.604 / 11.18 s —
+      a 4.5-6.4x REGRESSION (the dynamic sublane-offset (1, n) row
+      slice + per-panel transposes lower far worse than the padded
+      lane reads).  Kept only for A/B.
     """
+    import os
+
     n = p.shape[0]
     dtype = p.dtype
+    transposed = os.environ.get("EK_QR_PANEL", "n") == "t"
     cols = lax.broadcasted_iota(jnp.int32, (n,), 0)
 
-    def step(j, carry):
-        pt, Vt, taus = carry
-        piv = pivot0 + j
-        x = lax.dynamic_slice(pt, (j, 0), (1, n))[0]
+    def _reflector(x, piv):
         tail = jnp.where(cols > piv, x, 0.0)
         alpha = lax.dynamic_slice(x, (jnp.minimum(piv, n - 1),), (1,))[0]
         sigma = jnp.sum(tail * tail)
@@ -79,16 +83,34 @@ def _qr_panel(p: jax.Array, pivot0, b: int):
         tau = live * jnp.where(zero_tail, 0.0,
                                (beta - alpha) /
                                jnp.where(beta == 0, 1.0, beta))
-        w = pt @ v                               # (b,)
-        pt = pt - tau * w[:, None] * v[None, :]
-        Vt = lax.dynamic_update_slice(Vt, v[None, :], (j, 0))
-        taus = taus.at[j].set(tau)
-        return (pt, Vt, taus)
+        return v, tau
 
-    V0 = jnp.zeros((b, n), dtype)
-    t0 = jnp.zeros((b,), dtype)
-    _, Vt, taus = lax.fori_loop(0, b, step, (p.T, V0, t0))
-    return Vt.T, taus
+    if transposed:
+        def step_t(j, carry):
+            pt, Vt, taus = carry
+            v, tau = _reflector(lax.dynamic_slice(pt, (j, 0), (1, n))[0],
+                                pivot0 + j)
+            w = pt @ v                               # (b,)
+            pt = pt - tau * w[:, None] * v[None, :]
+            Vt = lax.dynamic_update_slice(Vt, v[None, :], (j, 0))
+            return (pt, Vt, taus.at[j].set(tau))
+
+        _, Vt, taus = lax.fori_loop(
+            0, b, step_t, (p.T, jnp.zeros((b, n), dtype),
+                           jnp.zeros((b,), dtype)))
+        return Vt.T, taus
+
+    def step(j, carry):
+        p, V, taus = carry
+        v, tau = _reflector(lax.dynamic_slice(p, (0, j), (n, 1))[:, 0],
+                            pivot0 + j)
+        p = p - tau * jnp.outer(v, v @ p)
+        V = lax.dynamic_update_slice(V, v[:, None], (0, j))
+        return (p, V, taus.at[j].set(tau))
+
+    _, V, taus = lax.fori_loop(
+        0, b, step, (p, jnp.zeros((n, b), dtype), jnp.zeros((b,), dtype)))
+    return V, taus
 
 
 def to_band(a: jax.Array, bw: int,

@@ -258,17 +258,28 @@ def use_stepwise(n: int) -> bool:
 
 def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
                     mesh: Optional[Mesh] = None, gap_factor: float = 30.0):
-    """Memory-bounded huge-n refinement: one jit per Newton step with the
-    eigenvector block DONATED, plus a jitted cluster-cleanup finalize.
+    """Memory-bounded huge-n refinement: small host-stepped jits with the
+    big buffers DONATED and every residual GEMM COLUMN-BLOCKED.
 
-    Rationale: jitting the whole refinement (2 unrolled steps + cleanup,
-    api._j_refine) at n = 16384 produced a 74 GB XLA memory plan — every
-    step's n^2 f64 temps (S, R, F, dl, E, ...) and the chunked-GEMM scan
-    buffers stay live across the unrolled program.  Splitting at step
-    granularity caps the plan at one step's working set, donation lets
-    XLA alias v across steps, and the O(err)-sized correction algebra
-    runs in f32 (its absolute error is err * eps32 — far below the
-    1e-12 bar; the residual-forming GEMMs stay ozaki-exact f64).
+    Two r4 failure modes shape this design (both n = 16384 hardware
+    measurements): jitting the whole refinement produced a 74 GB XLA
+    memory plan, and even the one-jit-per-step form OOM'd at 21.66 GB of
+    HLO temps — the full (n,n) f64 S/R/AV intermediates (2 GB each) plus
+    the chunked-GEMM hi/lo/carry accumulators at full (n,n) width (4 GB)
+    were all live inside one step.  Here:
+
+    * the residual quantities are formed per COLUMN BLOCK (nc columns,
+      EK_REFINE_NC, default 2048): block S/R slabs are computed f64-exact
+      (ozaki chunked GEMMs), their diagonals extracted in f64 (masked
+      reduce — no TPU gather), and the slabs immediately cast into
+      (k,k) float32 S32/F output buffers.  No full-width f64 S, R, or
+      AV ever exists — peak live set is a + v + two f32 (k,k) buffers
+      + O(n*nc) block temps, ~8.5 GB at n = 16384 (vs >21 GB before);
+    * the O(err)-sized correction algebra runs in f32 in a separate jit
+      with v/S32/F donated (absolute error err * eps32, far below the
+      1e-12 bar; the gap dl is formed from the f64 lam THEN cast);
+    * the cluster cleanup is three more small jits: full-depth blocked
+      S, adjacent-Jacobi (s donated), and a blocked V @ J apply.
     """
     import os
 
@@ -280,6 +291,7 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     steps = int(os.environ.get("EK_REFINE_STEPS", "6"))
     sched = [int(x) for x in os.environ.get(
         "EK_REFINE_OZAKI_SCHED_BIG", "5,9").split(",")]
+    nc = min(int(os.environ.get("EK_REFINE_NC", "2048")), v.shape[1])
     dtype = a.dtype
     v = v.astype(dtype)
     if b is not None:
@@ -287,42 +299,75 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     tiny = jnp.asarray(jnp.inf, dtype)
     for step_i in range(steps):
         md = sched[min(step_i, len(sched) - 1)]
-        v, tiny = _j_step_big(a, v, b, tiny, md, gap_factor, mesh)
-    return _j_finalize_big(a, v, b, mesh)
+        s32, f, lam = _j_sr_blocked(a, v, b, md=md, nc=nc, mesh=mesh)
+        v, tiny = _j_corr_big(v, s32, f, lam, tiny, gap_factor=gap_factor,
+                              mesh=mesh)
+    s = _j_s_full_blocked(a, v, nc=nc, mesh=mesh)
+    lam, j_rot = _j_jacobi_big(s)
+    return _j_apply_big(v, j_rot, lam, b, nc=nc, mesh=mesh)
 
 
-@partial(jax.jit, static_argnames=("md", "gap_factor", "mesh"),
-         donate_argnums=(1,))
-def _j_step_big(a, v, b, tiny_prev, md, gap_factor, mesh):
+def _diag_mask(k: int, nc: int, j0, dtype):
+    """(k, nc) one-hot of the diagonal of column block ``j0:j0+nc``."""
+    rows = lax.broadcasted_iota(jnp.int32, (k, nc), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (k, nc), 1)
+    return (rows == j0 + cols).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("md", "nc", "mesh"))
+def _j_sr_blocked(a, v, b, md, nc, mesh):
+    """Column-blocked residual formation: returns (S32, F, lam) with
+    S32 = (V^T A V) and F = (I - V^T B V) cast to f32 (k, k) slab by
+    slab, lam = diag(S)/diag(R) in f64.  Only O(n*nc) f64 temps live."""
     from eigenkernel_tpu.ops import ozaki
 
     dtype = a.dtype
-    av = _wsc(ozaki.ozaki_matmul_chunked(a, v, out_dtype=dtype,
-                                         max_diag=md), mesh)
-    s = _wsc(ozaki.ozaki_matmul_chunked(v.T, av, out_dtype=dtype,
-                                        max_diag=md), mesh)
-    del av
-    if b is None:
-        r = _wsc(ozaki.ozaki_matmul_chunked(v.T, v, out_dtype=dtype,
-                                            max_diag=md), mesh)
-    else:
-        bv = _wsc(ozaki.ozaki_matmul_chunked(b, v, out_dtype=dtype,
-                                             max_diag=md), mesh)
-        r = _wsc(ozaki.ozaki_matmul_chunked(v.T, bv, out_dtype=dtype,
-                                            max_diag=md), mesh)
-        del bv
-    lam = jnp.diagonal(s) / jnp.diagonal(r)
+    n, k = v.shape
+    vt = v.T
+    nb = -(-k // nc)
+    f32 = jnp.float32
+
+    def body(jb, carry):
+        s32, f, ds, dr = carry
+        j0 = jnp.minimum(jb * nc, k - nc)  # last block overlaps, not pads
+        vb = lax.dynamic_slice(v, (0, j0), (n, nc))
+        avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype,
+                                         max_diag=md)
+        sb = ozaki.ozaki_matmul_chunked(vt, avb, out_dtype=dtype,
+                                        max_diag=md)
+        if b is None:
+            rb = ozaki.ozaki_matmul_chunked(vt, vb, out_dtype=dtype,
+                                            max_diag=md)
+        else:
+            bvb = ozaki.ozaki_matmul_chunked(b, vb, out_dtype=dtype,
+                                             max_diag=md)
+            rb = ozaki.ozaki_matmul_chunked(vt, bvb, out_dtype=dtype,
+                                            max_diag=md)
+        dm = _diag_mask(k, nc, j0, dtype)
+        ds = lax.dynamic_update_slice(ds, jnp.sum(sb * dm, axis=0), (j0,))
+        dr = lax.dynamic_update_slice(dr, jnp.sum(rb * dm, axis=0), (j0,))
+        # F = I - R formed in f64 (diagonal = small difference of O(1)
+        # values), THEN cast: f32 keeps 1e-7 RELATIVE accuracy of the
+        # O(err)-sized entries — absolute err*eps32, below the 1e-12 bar
+        s32 = lax.dynamic_update_slice(s32, sb.astype(f32), (0, j0))
+        f = lax.dynamic_update_slice(f, (dm - rb).astype(f32), (0, j0))
+        return s32, f, ds, dr
+
+    s32, f, ds, dr = lax.fori_loop(
+        0, nb, body, (jnp.zeros((k, k), f32), jnp.zeros((k, k), f32),
+                      jnp.zeros((k,), dtype), jnp.zeros((k,), dtype)))
+    return _wsc(s32, mesh), _wsc(f, mesh), ds / dr
+
+
+@partial(jax.jit, static_argnames=("gap_factor", "mesh"),
+         donate_argnums=(0, 1, 2))
+def _j_corr_big(v, s32, f, lam, tiny_prev, gap_factor, mesh):
+    dtype = v.dtype
     k = v.shape[1]
     f32 = jnp.float32
     ii = lax.broadcasted_iota(jnp.int32, (k, k), 0)
     jj = lax.broadcasted_iota(jnp.int32, (k, k), 1)
     diag_mask = ii == jj
-    # F = I - R formed in f64 (the diagonal is a small difference of
-    # O(1) values), THEN cast: f32 keeps 1e-7 RELATIVE accuracy of the
-    # O(err)-sized entries — absolute err*eps32, below the 1e-12 bar.
-    f = jnp.where(diag_mask, 1.0 - r, -r).astype(f32)
-    s32 = s.astype(f32)
-    del r, s
     lam32 = lam.astype(f32)
     # the GAP must be formed in f64 then cast (not from f32-rounded
     # lam): eps32*|lam| absolute noise corrupts/flips near-cluster gaps
@@ -341,19 +386,57 @@ def _j_step_big(a, v, b, tiny_prev, md, gap_factor, mesh):
     return v, tiny
 
 
-@partial(jax.jit, static_argnames=("mesh",), donate_argnums=(1,))
-def _j_finalize_big(a, v, b, mesh):
+@partial(jax.jit, static_argnames=("nc", "mesh"))
+def _j_s_full_blocked(a, v, nc, mesh):
+    """Full-depth (q=11) S = V^T A V in f64, column-blocked."""
     from eigenkernel_tpu.ops import ozaki
 
     dtype = a.dtype
-    av = ozaki.ozaki_matmul_chunked(a, v, out_dtype=dtype)
-    s = _wsc(ozaki.ozaki_matmul_chunked(v.T, av, out_dtype=dtype), mesh)
-    del av
+    n, k = v.shape
+    vt = v.T
+    nb = -(-k // nc)
+
+    def body(jb, s):
+        j0 = jnp.minimum(jb * nc, k - nc)
+        vb = lax.dynamic_slice(v, (0, j0), (n, nc))
+        avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype)
+        sb = ozaki.ozaki_matmul_chunked(vt, avb, out_dtype=dtype)
+        return lax.dynamic_update_slice(s, sb, (0, j0))
+
+    return _wsc(lax.fori_loop(0, nb, body, jnp.zeros((k, k), dtype)), mesh)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _j_jacobi_big(s):
     s, j_rot = _adjacent_jacobi(s, passes=6)
-    v = _wsc(ozaki.ozaki_matmul_chunked(v, j_rot, out_dtype=dtype), mesh)
-    lam = jnp.diagonal(s)
+    k = s.shape[0]
+    lam = lax.slice(s.reshape(-1), (0,), ((k - 1) * (k + 1) + 1,), (k + 1,))
+    return lam, j_rot
+
+
+@partial(jax.jit, static_argnames=("nc", "mesh"))
+def _j_apply_big(v, j_rot, lam, b, nc, mesh):
+    """Blocked V @ J (and generalized Rayleigh rescale), final sort."""
+    from eigenkernel_tpu.ops import ozaki
+
+    dtype = v.dtype
+    n, k = v.shape
+
+    def _blocked_mm(lhs, rhs):
+        nb = -(-rhs.shape[1] // nc)
+
+        def body(jb, out):
+            j0 = jnp.minimum(jb * nc, rhs.shape[1] - nc)
+            rb = lax.dynamic_slice(rhs, (0, j0), (rhs.shape[0], nc))
+            ob = ozaki.ozaki_matmul_chunked(lhs, rb, out_dtype=dtype)
+            return lax.dynamic_update_slice(out, ob, (0, j0))
+
+        return lax.fori_loop(0, nb, body,
+                             jnp.zeros((lhs.shape[0], rhs.shape[1]), dtype))
+
+    v = _wsc(_blocked_mm(v, j_rot), mesh)
     if b is not None:
-        bv = _wsc(ozaki.ozaki_matmul_chunked(b, v, out_dtype=dtype), mesh)
+        bv = _wsc(_blocked_mm(b, v), mesh)
         lam = lam / jnp.sum(v * bv, axis=0)
     order = jnp.argsort(lam)
     return lam[order], v[:, order]

@@ -96,12 +96,15 @@ def _shear_roll(x, b, direction):
 
 
 def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
-                 dtype, shear_roll: bool = False):
+                 dtype, shear_roll: bool = False, algebra: bool = True):
     """One wavefront step for a GROUP of G lanes.
 
     ``win``: (G, 2b+1, Wp) — rows 0..2b of each lane's band window.
     ``t``/``live``: (G, 1) sweep index / liveness mask.
     Returns (new_rows (G, 2b, Wp) to store back, v (G, b), tau_h (G, 1)).
+    ``algebra=False`` (the dbg=3 profiling stage) runs the shear
+    extract + inverse-shear write-back but skips the reflector/D-block
+    middle — isolating the shear-network share of the compute.
     """
     G = win.shape[0]
     rr = lax.broadcasted_iota(jnp.int32, (2 * b, 1), 0)  # merged row idx
@@ -133,6 +136,18 @@ def _chase_group(win, t, live, *, n: int, b: int, W: int, Wp: int,
     shear_f = (lambda x, d: _shear_roll(x, b, d)) if shear_roll else \
         (lambda x, d: _shear(x, shear2, b - 1, d))
     sheared = shear_f(drow, -1)[:, :, :2 * b]
+    if not algebra:
+        # dbg=3: shears + write-back masks only — new12 == sheared means
+        # the stored rows reconstruct the input exactly (identity pass)
+        zv = jnp.zeros((G, b), dtype)
+        zt = jnp.zeros((G, 1), dtype)
+        Bw0 = netw if netw >= Wp else max(2 * W, Wp)
+        zpad0 = jnp.zeros((G, 2 * b, Bw0 - 2 * b), dtype)
+        back0 = shear_f(jnp.concatenate([sheared, zpad0], axis=2), +1)
+        back0 = jnp.where(rr >= b, jnp.roll(back0, 1, axis=-1), back0)
+        return (jnp.concatenate(
+            [back0[:, :b, :Wp], back0[:, b:2 * b, :Wp]], axis=1)[:, :, :Wp],
+            zv, zt)
     v1 = sheared[:, :b, :]
     v2full = sheared[:, b:2 * b, :]
     rw_ = lax.broadcasted_iota(jnp.int32, (b, Wp), 0)
@@ -340,7 +355,7 @@ def _chase_kernel(wf_ref, wfout_ref, vt_ref, state, sem, *,
             else:
                 new_rows, v, tau_h = _chase_group(
                     win, t, live, n=n, b=b, W=W, Wp=Wp, dtype=dtype,
-                    shear_roll=shear_roll)
+                    shear_roll=shear_roll, algebra=dbg != 3)
 
             if dbg != 11:
                 if align_c:

@@ -19,7 +19,7 @@ band_dev = jnp.asarray(band)
 t_start = time.time()
 budget = int(os.environ.get("BUDGET_S", "3600"))
 for io in os.environ.get("IOS", "lane,align").split(","):
-  for dbg in ("11", "0", "2"):
+  for dbg in os.environ.get("DBGS", "11,0,2").split(","):
     for fuse in os.environ.get("FUSES", "4,8").split(","):
         if time.time() - t_start > budget:
             # self-budget between configs: an external timeout killing a

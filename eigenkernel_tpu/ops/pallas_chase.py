@@ -557,12 +557,37 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
     cs = jnp.where(live, c, n).reshape(-1)
     ts = jnp.minimum(t, T - 1).reshape(-1)
 
-    vs = vt[:, :, :b].reshape(-1, b)
-    ths = vt[:, :, b].reshape(-1)
-    HV = jnp.zeros((n + 1, T, b), dtype).at[cs, ts, :].set(
-        vs, mode="drop")
-    HT = jnp.zeros((n + 1, T), dtype).at[cs, ts].set(
-        ths, mode="drop")
-    HV, HT = _shard_chase_store(HV[:n], HT[:n], None)
+    if os.environ.get("EK_CHASE_REPACK", "scatter") == "shear":
+        # Gather-free (tau, lane) -> (c, t) repack.  t = (tau%4) + 4j and
+        # c = tau//4 - j invert to HV[c, 4j+r] = vt4[c+j, r, j] — a
+        # slope-1 shear along the c axis, done with log2(nW) static
+        # rolls + per-lane masks (the same trick as the kernel's lane
+        # shear) instead of a TPU scatter.  Dead (c, t) slots hold
+        # exact zeros because the kernel's live mask zeroes v/tau_h, and
+        # the nW zero-pad rows keep the cyclic rolls from wrapping live
+        # data into out-of-range slots.
+        tm4 = vt.shape[0]
+        if tm4 % 4:
+            vt = jnp.concatenate(
+                [vt, jnp.zeros((4 - tm4 % 4, nW, b + 1), dtype)], axis=0)
+        c4 = vt.shape[0] // 4
+        x = jnp.concatenate(
+            [vt.reshape(c4, 4, nW, b + 1),
+             jnp.zeros((nW, 4, nW, b + 1), dtype)], axis=0)
+        lane = jnp.arange(nW)[None, None, :, None]
+        amt = 1
+        while amt < nW:
+            x = jnp.where((lane & amt) != 0, jnp.roll(x, -amt, axis=0), x)
+            amt *= 2
+        y = jnp.transpose(x, (0, 2, 1, 3)).reshape(c4 + nW, 4 * nW, b + 1)
+        HV, HT = y[:n, :T, :b], y[:n, :T, b]
+    else:
+        vs = vt[:, :, :b].reshape(-1, b)
+        ths = vt[:, :, b].reshape(-1)
+        HV = jnp.zeros((n + 1, T, b), dtype).at[cs, ts, :].set(
+            vs, mode="drop")[:n]
+        HT = jnp.zeros((n + 1, T), dtype).at[cs, ts].set(
+            ths, mode="drop")[:n]
+    HV, HT = _shard_chase_store(HV, HT, None)
     return ChaseResult(d=d, e=e, HV=HV, HT=HT,
                        bw=jnp.asarray(bw, jnp.int32))

@@ -49,7 +49,10 @@ N=16384 step stages16k 3600 python scripts/exp/exp24_stage_breakdown.py
 
 # 2. chase compute split at 16384: dbg=3 (shear-only) vs dbg=0 (IO) vs
 #    dbg=2 (full) — sizes the shear share of the 3.0 s compute plateau
-N=16384 DBGS=0,3,2 step chase_dbg3 3600 python scripts/exp/exp16_chase_profile.py
+N=16384 DBGS=10,0,3,2 IOS=lane FUSES=8 step chase_dbg3 3600 python scripts/exp/exp16_chase_profile.py
+
+# 2b. chase-store repack A/B at 16384 (scatter vs roll-shear)
+N=16384 step repack16k 3600 python scripts/exp/exp34_repack_ab.py
 
 # 3. first M=32768 datapoint: selecting lowest-500, one-stage core
 #    (fits 16 GB; evidence/BUDGET_32K_r5.md).  Long compile expected.

@@ -22,13 +22,18 @@ for split in os.environ.get("SPLITS", "2,4,8").split(","):
     with jax.default_matmul_precision("highest"):
         r = f(ad)
         float(jnp.sum(r.band[:1, :1]))
-        t0 = time.time()
-        r = f(ad)
+        times = []
+        for _ in range(3):      # min-over-3: one-shot timings at 8k read
+            t0 = time.time()    # 1.38 s where exp24 reads 0.27 s (r5)
+            r = f(ad)
+            float(jnp.sum(r.band[:1, :1]))
+            times.append(time.time() - t0)
+        dt = min(times)
         s = float(jnp.sum(jnp.abs(jnp.diagonal(r.band))))
-        dt = time.time() - t0
     floor = n ** 3 * 4 / bw / 819e9
     print(json.dumps({"n": n, "bw": bw, "split": int(split),
-                      "time_s": round(dt, 4),
+                      "time_s": round(dt, 4), "times": [round(t, 4)
+                                                        for t in times],
                       "hbm_frac": round(floor / dt, 3),
                       "diag_sum": round(s, 3)}), flush=True)
     if ref is None:

@@ -44,6 +44,7 @@ step() {
 # 1. in-pipeline stage breakdown at HEAD (the exp24 method that read
 #    to_band 0.354 s at 8192 on r3s8) — discriminates "exp30 measures
 #    differently" from "the device/to_band is slower now"
+N=8192 SPLITS=2,4,8 step toband8k_splits 2700 python scripts/exp/exp30_toband_split.py
 N=8192 step stages8k 2700 python scripts/exp/exp24_stage_breakdown.py
 N=16384 step stages16k 3600 python scripts/exp/exp24_stage_breakdown.py
 

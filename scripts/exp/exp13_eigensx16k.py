@@ -18,17 +18,18 @@ def sync(p):
     return float(jnp.sum(p.values) + jnp.sum(p.vectors[0, :8]))
 
 ad = jnp.asarray(a)  # upload once: 1 GB/call through the tunnel otherwise
-for it in range(2):
-    log = EventLog(stream=False)
+for it in range(3):
+    log = EventLog(stream=False) if it <= 1 else None
     t0 = time.time()
     p = solve(ad, solver="eigensx", log=log)
     s = sync(p)
     dt = time.time() - t0
-    stages = {e["name"]: round(e["val"], 3) for e in log.events()
-              if not e["name"].startswith("!")}
+    stages = {} if log is None else {
+        e["name"]: round(e["val"], 3) for e in log.events()
+        if not e["name"].startswith("!")}
     print(json.dumps({"iter": it, "n": n, "time_s": round(dt, 3),
                       "stages": stages}), flush=True)
-    if it == 0:
+    if it <= 1:
         # drop iter-0 eigenpairs before the warm run: at n=16384 two
         # live (values, vectors) sets + stores exceed HBM (observed
         # RESOURCE_EXHAUSTED on the warm back_transform)

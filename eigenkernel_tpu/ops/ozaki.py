@@ -110,7 +110,8 @@ def transpose_operand(op: OzakiOperand) -> OzakiOperand:
 def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
                          beta: int = DEFAULT_BETA, out_dtype=None,
                          max_diag: int | None = None,
-                         kc: int | None = None):
+                         kc: int | None = None,
+                         transpose_a: bool = False):
     """``C = a @ b`` like :func:`ozaki_matmul`, but with the slice split
     done PER CONTRACTION CHUNK inside a ``lax.scan``.
 
@@ -126,12 +127,23 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
     are O(q*m*kc) and exactly ONE (m, n) GEMM temp is live at a time.
     Accuracy: each block result is exact to the truncation (~2^(-beta*
     max_diag)); the f64 carry adds one eps64 rounding per chunk.
+
+    ``transpose_a=True`` computes ``a.T @ b`` from ``a`` given as
+    (k, m) WITHOUT materializing the transpose: chunks slice ROWS of
+    ``a`` and the pair GEMMs contract dim 0 of both operands (the MXU
+    takes either layout).  At n = 16384 a materialized ``v.T`` costs
+    2 GB of layout-copied emulated-f64 hi/lo planes inside the caller's
+    program — the single largest avoidable buffer in the r5 refine OOM
+    (16.86 GB vs the 15.75 GB HBM capacity).
     """
     if q is None:
         q = _env_q()
     if max_diag is not None:
         q = min(q, max_diag)
-    m, k = a.shape
+    if transpose_a:
+        k, m = a.shape
+    else:
+        m, k = a.shape
     n = b.shape[1]
     if kc is None:
         kc = int(os.environ.get("EK_OZAKI_KC", "2048"))
@@ -139,7 +151,10 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
     nkc = -(-k // kc)
     if nkc * kc > k:
         pad = nkc * kc - k
-        a = jnp.concatenate([a, jnp.zeros((m, pad), a.dtype)], axis=1)
+        if transpose_a:
+            a = jnp.concatenate([a, jnp.zeros((pad, m), a.dtype)], axis=0)
+        else:
+            a = jnp.concatenate([a, jnp.zeros((m, pad), a.dtype)], axis=1)
         b = jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)], axis=0)
     if out_dtype is None:
         out_dtype = jnp.zeros((), jnp.float64).dtype
@@ -149,9 +164,17 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
         # copies: the stacked transpose materialized BOTH full operands
         # again (2-4 GB each at n=16384) and double-buffered them across
         # the scan — a large share of the refine16k 74 GB HBM plan
-        ab = lax.dynamic_slice(a, (0, i * kc), (a.shape[0], kc))
+        if transpose_a:
+            ab = lax.dynamic_slice(a, (i * kc, 0), (kc, a.shape[1]))
+            op_a = split_slices(ab, 0, q, beta)
+            dn = (((0,), (0,)), ((), ()))
+            scale_a = op_a.scale.reshape(-1, 1)  # (1, m) -> (m, 1)
+        else:
+            ab = lax.dynamic_slice(a, (0, i * kc), (a.shape[0], kc))
+            op_a = split_slices(ab, 1, q, beta)
+            dn = (((1,), (0,)), ((), ()))
+            scale_a = op_a.scale
         bb = lax.dynamic_slice(b, (i * kc, 0), (kc, b.shape[1]))
-        op_a = split_slices(ab, 1, q, beta)
         op_b = split_slices(bb, 0, q, beta)
         hi = jnp.zeros((m, n), jnp.float32)
         lo = jnp.zeros((m, n), jnp.float32)
@@ -161,12 +184,11 @@ def ozaki_matmul_chunked(a: jax.Array, b: jax.Array, q: int | None = None,
                 if tb >= q:
                     continue
                 p = lax.dot_general(
-                    op_a.slices[ta], op_b.slices[tb],
-                    (((1,), (0,)), ((), ())),
+                    op_a.slices[ta], op_b.slices[tb], dn,
                     preferred_element_type=jnp.float32)
                 hi, lo = _two_sum_acc(hi, lo, p)
         c = c + (hi.astype(out_dtype) + lo.astype(out_dtype)) \
-            * op_a.scale.astype(out_dtype) * op_b.scale.astype(out_dtype)
+            * scale_a.astype(out_dtype) * op_b.scale.astype(out_dtype)
         return c, None
 
     c0 = jnp.zeros((m, n), out_dtype)

@@ -97,22 +97,27 @@ def refine_eigenpairs(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
             "EK_REFINE_OZAKI_SCHED_BIG", "5,9").split(",")]
 
         def _residual_mats(v, md=None, s_only=False):
+            # transpose_a: V^T-products contract dim 0 of v directly —
+            # a materialized v.T costs 2 GB of layout-copied hi/lo
+            # planes at n=16384 (see ozaki_matmul_chunked docstring)
             av = _wsc(ozaki.ozaki_matmul_chunked(
                 a, v, out_dtype=dtype, max_diag=md), mesh)
-            vt = v.T
             s = _wsc(ozaki.ozaki_matmul_chunked(
-                vt, av, out_dtype=dtype, max_diag=md), mesh)
+                v, av, out_dtype=dtype, max_diag=md, transpose_a=True),
+                mesh)
             if s_only:
                 return av, v, s, None
             if b is None:
                 r = _wsc(ozaki.ozaki_matmul_chunked(
-                    vt, v, out_dtype=dtype, max_diag=md), mesh)
+                    v, v, out_dtype=dtype, max_diag=md, transpose_a=True),
+                    mesh)
                 bv = v
             else:
                 bv = _wsc(ozaki.ozaki_matmul_chunked(
                     b, v, out_dtype=dtype, max_diag=md), mesh)
                 r = _wsc(ozaki.ozaki_matmul_chunked(
-                    vt, bv, out_dtype=dtype, max_diag=md), mesh)
+                    v, bv, out_dtype=dtype, max_diag=md, transpose_a=True),
+                    mesh)
             return av, bv, s, r
     elif gemm_mode == "ozaki":
         from eigenkernel_tpu.ops import ozaki
@@ -291,17 +296,41 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     steps = int(os.environ.get("EK_REFINE_STEPS", "6"))
     sched = [int(x) for x in os.environ.get(
         "EK_REFINE_OZAKI_SCHED_BIG", "5,9").split(",")]
-    nc = min(int(os.environ.get("EK_REFINE_NC", "2048")), v.shape[1])
+    # nc=1024 (not 2048): the per-block (k, nc) f32 hi/lo/TwoSum remat
+    # temps inside the chunked-GEMM scan dominated the r5 16.86 GB plan
+    # (~55 x 128 MB live at peak); halving nc halves every one of them
+    nc = min(int(os.environ.get("EK_REFINE_NC", "1024")), v.shape[1])
     dtype = a.dtype
     v = v.astype(dtype)
     if b is not None:
         b = b.astype(dtype)
     tiny = jnp.asarray(jnp.inf, dtype)
+    lam = None
     for step_i in range(steps):
         md = sched[min(step_i, len(sched) - 1)]
         s32, f, lam = _j_sr_blocked(a, v, b, md=md, nc=nc, mesh=mesh)
-        v, tiny = _j_corr_big(v, s32, f, lam, tiny, gap_factor=gap_factor,
-                              mesh=mesh)
+        v, tiny = _j_corr_big(v, s32, f, lam, tiny, nc=nc,
+                              gap_factor=gap_factor, mesh=mesh)
+    # Cluster cleanup is only needed for pairs Newton FROZE (|gap| <=
+    # tiny).  Detecting that costs one (k,) host fetch; when no adjacent
+    # gap is below the final threshold (true for non-degenerate spectra,
+    # e.g. random test matrices), skip the (k,k) f64 Jacobi entirely —
+    # at k=16384 its emulated-f64 rotation passes are the next HBM
+    # hazard after the residual jits.  EK_REFINE_CLEANUP=1/0 forces.
+    import numpy as np
+
+    force = os.environ.get("EK_REFINE_CLEANUP", "auto")
+    lam_h = np.asarray(jax.device_get(lam))
+    gap_min = float(np.min(np.diff(np.sort(lam_h)))) if lam_h.size > 1 \
+        else float("inf")
+    skip = gap_min > float(jax.device_get(tiny)) if force == "auto" \
+        else force == "0"
+    if skip:
+        lam = _j_diag_blocked(a, v, b, nc=nc, mesh=mesh)
+        order = np.argsort(np.asarray(jax.device_get(lam)))
+        if not np.array_equal(order, np.arange(order.size)):
+            lam, v = _j_reorder(lam, v, tuple(order.tolist()))
+        return lam, v
     s = _j_s_full_blocked(a, v, nc=nc, mesh=mesh)
     lam, j_rot = _j_jacobi_big(s)
     return _j_apply_big(v, j_rot, lam, b, nc=nc, mesh=mesh)
@@ -323,7 +352,6 @@ def _j_sr_blocked(a, v, b, md, nc, mesh):
 
     dtype = a.dtype
     n, k = v.shape
-    vt = v.T
     nb = -(-k // nc)
     f32 = jnp.float32
 
@@ -333,16 +361,18 @@ def _j_sr_blocked(a, v, b, md, nc, mesh):
         vb = lax.dynamic_slice(v, (0, j0), (n, nc))
         avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype,
                                          max_diag=md)
-        sb = ozaki.ozaki_matmul_chunked(vt, avb, out_dtype=dtype,
-                                        max_diag=md)
+        # transpose_a contracts dim 0 of v in place of a materialized
+        # v.T (2 GB of transposed hi/lo copies at n=16384 — OOM item)
+        sb = ozaki.ozaki_matmul_chunked(v, avb, out_dtype=dtype,
+                                        max_diag=md, transpose_a=True)
         if b is None:
-            rb = ozaki.ozaki_matmul_chunked(vt, vb, out_dtype=dtype,
-                                            max_diag=md)
+            rb = ozaki.ozaki_matmul_chunked(v, vb, out_dtype=dtype,
+                                            max_diag=md, transpose_a=True)
         else:
             bvb = ozaki.ozaki_matmul_chunked(b, vb, out_dtype=dtype,
                                              max_diag=md)
-            rb = ozaki.ozaki_matmul_chunked(vt, bvb, out_dtype=dtype,
-                                            max_diag=md)
+            rb = ozaki.ozaki_matmul_chunked(v, bvb, out_dtype=dtype,
+                                            max_diag=md, transpose_a=True)
         dm = _diag_mask(k, nc, j0, dtype)
         ds = lax.dynamic_update_slice(ds, jnp.sum(sb * dm, axis=0), (j0,))
         dr = lax.dynamic_update_slice(dr, jnp.sum(rb * dm, axis=0), (j0,))
@@ -359,30 +389,46 @@ def _j_sr_blocked(a, v, b, md, nc, mesh):
     return _wsc(s32, mesh), _wsc(f, mesh), ds / dr
 
 
-@partial(jax.jit, static_argnames=("gap_factor", "mesh"),
+@partial(jax.jit, static_argnames=("nc", "gap_factor", "mesh"),
          donate_argnums=(0, 1, 2))
-def _j_corr_big(v, s32, f, lam, tiny_prev, gap_factor, mesh):
+def _j_corr_big(v, s32, f, lam, tiny_prev, nc, gap_factor, mesh):
+    """Column-blocked Newton correction: the (k, k) f32 intermediates
+    (dl, safe, e) never exist full-width — each fori step forms an
+    (k, nc) slab of E and its dV columns.  dV is accumulated into ONE
+    (n, k) f32 buffer (overlap-tolerant overwrite, matching
+    _j_sr_blocked's last-block-overlaps convention) and applied once."""
     dtype = v.dtype
-    k = v.shape[1]
+    n, k = v.shape
     f32 = jnp.float32
-    ii = lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    jj = lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    diag_mask = ii == jj
     lam32 = lam.astype(f32)
-    # the GAP must be formed in f64 then cast (not from f32-rounded
-    # lam): eps32*|lam| absolute noise corrupts/flips near-cluster gaps
-    dl = (lam[None, :] - lam[:, None]).astype(f32)
     scale = jnp.maximum(jnp.max(lam) - jnp.min(lam), jnp.finfo(dtype).tiny)
     err_est = jnp.max(jnp.abs(f)).astype(dtype)
     floor = 100.0 * jnp.sqrt(jnp.finfo(dtype).eps)
     tiny = scale * jnp.maximum(jnp.sqrt(gap_factor * err_est), floor)
     tiny = jnp.minimum(tiny, tiny_prev)  # monotone (see refine_eigenpairs)
-    safe = jnp.abs(dl) > tiny.astype(f32)
-    e_off = jnp.where(safe, (s32 + f * lam32[None, :]) /
-                      jnp.where(safe, dl, 1.0), f * 0.5)
-    e = jnp.where(diag_mask, f * 0.5, e_off)
-    dv = v.astype(f32) @ e
-    v = _wsc(v + dv.astype(dtype), mesh)
+    tiny32 = tiny.astype(f32)
+    v32 = v.astype(f32)  # lhs of every block GEMM: the PRE-update v
+    nb = -(-k // nc)
+
+    def body(jb, dv_full):
+        j0 = jnp.minimum(jb * nc, k - nc)
+        s_b = lax.dynamic_slice(s32, (0, j0), (k, nc))
+        f_b = lax.dynamic_slice(f, (0, j0), (k, nc))
+        lam_b = lax.dynamic_slice(lam, (j0,), (nc,))
+        # the GAP must be formed in f64 then cast (not from f32-rounded
+        # lam): eps32*|lam| noise corrupts/flips near-cluster gaps
+        dl_b = (lam_b[None, :] - lam[:, None]).astype(f32)
+        rows = lax.broadcasted_iota(jnp.int32, (k, nc), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (k, nc), 1)
+        diag_b = rows == (j0 + cols)
+        safe = jnp.abs(dl_b) > tiny32
+        e_off = jnp.where(safe, (s_b + f_b * lam_b.astype(f32)[None, :]) /
+                          jnp.where(safe, dl_b, 1.0), f_b * 0.5)
+        e_b = jnp.where(diag_b, f_b * 0.5, e_off)
+        return lax.dynamic_update_slice(dv_full, v32 @ e_b, (0, j0))
+
+    dv_full = lax.fori_loop(0, nb, body, jnp.zeros((n, k), f32))
+    v = _wsc(v + dv_full.astype(dtype), mesh)
     return v, tiny
 
 
@@ -393,17 +439,51 @@ def _j_s_full_blocked(a, v, nc, mesh):
 
     dtype = a.dtype
     n, k = v.shape
-    vt = v.T
     nb = -(-k // nc)
 
     def body(jb, s):
         j0 = jnp.minimum(jb * nc, k - nc)
         vb = lax.dynamic_slice(v, (0, j0), (n, nc))
         avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype)
-        sb = ozaki.ozaki_matmul_chunked(vt, avb, out_dtype=dtype)
+        sb = ozaki.ozaki_matmul_chunked(v, avb, out_dtype=dtype,
+                                        transpose_a=True)
         return lax.dynamic_update_slice(s, sb, (0, j0))
 
     return _wsc(lax.fori_loop(0, nb, body, jnp.zeros((k, k), dtype)), mesh)
+
+
+@partial(jax.jit, static_argnames=("nc", "mesh"))
+def _j_diag_blocked(a, v, b, nc, mesh):
+    """Rayleigh quotients only: lam_j = (v_j^T A v_j) / (v_j^T B v_j),
+    column-blocked — no (k, k) slab is ever formed.  Used by the
+    cleanup-skip path of refine_stepwise (separated spectra) where only
+    the final eigenvalues of the refined V are still needed."""
+    from eigenkernel_tpu.ops import ozaki
+
+    dtype = a.dtype
+    n, k = v.shape
+    nb = -(-k // nc)
+
+    def body(jb, carry):
+        ds, dr = carry
+        j0 = jnp.minimum(jb * nc, k - nc)
+        vb = lax.dynamic_slice(v, (0, j0), (n, nc))
+        avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype)
+        bvb = vb if b is None else ozaki.ozaki_matmul_chunked(
+            b, vb, out_dtype=dtype)
+        ds = lax.dynamic_update_slice(ds, jnp.sum(vb * avb, axis=0), (j0,))
+        dr = lax.dynamic_update_slice(dr, jnp.sum(vb * bvb, axis=0), (j0,))
+        return ds, dr
+
+    ds, dr = lax.fori_loop(
+        0, nb, body, (jnp.zeros((k,), dtype), jnp.zeros((k,), dtype)))
+    return _wsc(ds / dr, mesh)
+
+
+@partial(jax.jit, static_argnames=("order",))
+def _j_reorder(lam, v, order):
+    idx = jnp.asarray(order)
+    return lam[idx], jnp.take(v, idx, axis=1)
 
 
 @partial(jax.jit, donate_argnums=(0,))

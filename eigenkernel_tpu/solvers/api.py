@@ -190,6 +190,13 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         b64 = _pad_place(b, n, n_pad, f64, sharding, eye=True) \
             if b is not None else None
         v_pad = jnp.zeros((n_pad, n_vec), vectors.dtype).at[:n, :].set(vectors)
+        # the f32 pipeline buffers (a_dev, z and its vectors view) are
+        # dead from here on but would otherwise stay device-resident
+        # across the refinement jits — ~3 GB at n=16384, on top of a
+        # compile-time HBM plan that fits with ~1 GB to spare (r5)
+        del a_dev, vectors, w, z
+        if b is not None:
+            del b_dev
         from eigenkernel_tpu.ops.refine import refine_stepwise, use_stepwise
         with jax.default_matmul_precision("highest"):
             if use_stepwise(n_pad):

@@ -104,36 +104,41 @@ def tridiagonalize(a: jax.Array, block: int = 64,
     # split=4: 1.73 n^3, split=8: 1.52 n^3 — at the cost of a bigger
     # compiled program (TPU v5e M=8192 solve totals: 2.33/1.85/1.68 s).
     split = int(os.environ.get("EK_SYTRD_SPLIT", str(DEFAULT_SYTRD_SPLIT)))
-    d, e, taus, vstore = _tridiag_rec(_wsc(a, mesh), b, mesh, split)
+    # ONE full-size (vstore, d, e, taus) threaded through the recursion
+    # and written in place at static offsets.  The previous per-level
+    # assembly (each level allocating its own (m, m) V plus concats)
+    # handed XLA ~log(n) odd-sized GB buffers: at n = 32768 the buffer
+    # arena fragmented to 68 % (14.67 GB plan for 4.69 GB of live temps)
+    # and the selecting-32k compile OOM'd (evidence/BUDGET_32K_r5.md).
+    store = (jnp.zeros((n, n), dtype), jnp.zeros((n,), dtype),
+             jnp.zeros((max(n - 1, 1),), dtype), jnp.zeros((n,), dtype))
+    vstore, d, e, taus = _tridiag_rec(_wsc(a, mesh), b, mesh, split,
+                                      store, 0)
     return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
-                         V=vstore, taus=taus)
+                         V=_wsc(vstore, mesh), taus=taus)
 
 
 def _tridiag_rec(a: jax.Array, b: int, mesh: Optional[Mesh],
-                 split: int = 2):
+                 split: int, store, off: int):
     m = a.shape[0]
     mid = (m // max(split, 2) // b) * b
     if mid == 0 or m - mid < 2 * b:
-        _, d, e, taus, V = _tridiag_panels(a, b, mesh, m // b)
-        return d, e, taus, V
-    a, d1, e1, t1, V1 = _tridiag_panels(a, b, mesh, mid // b)
-    d2, e2, t2, V2 = _tridiag_rec(a[mid:, mid:], b, mesh, split)
-    d = jnp.concatenate([d1[:mid], d2])
-    e = jnp.concatenate([e1[:mid], e2]) if m > 1 else e1
-    taus = jnp.concatenate([t1[:mid], t2])
-    V = jnp.zeros((m, m), a.dtype)
-    V = V.at[:, :mid].set(V1[:, :mid])
-    V = V.at[mid:, mid:].set(V2)
-    return d, e, taus, _wsc(V, mesh)
+        _, store = _tridiag_panels(a, b, mesh, m // b, store, off)
+        return store
+    a, store = _tridiag_panels(a, b, mesh, mid // b, store, off)
+    return _tridiag_rec(a[mid:, mid:], b, mesh, split, store, off + mid)
 
 
 def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
-                    n_panels: int):
-    """Run ``n_panels`` leading panels on the full matrix; returns the
-    updated matrix and (d, e, taus, V) for the processed columns."""
-    n = a.shape[0]
+                    n_panels: int, store, off: int):
+    """Run ``n_panels`` leading panels on the (level-sized) matrix ``a``;
+    returns the updated matrix and the full-size ``store`` with this
+    level's (d, e, taus, V) written at static offset ``off``."""
+    m = a.shape[0]
     dtype = a.dtype
-    rows = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    vstore0, d0, e0, t0 = store
+    rows_e = lax.broadcasted_iota(jnp.int32, (e0.shape[0],), 0)
 
     def panel(p, carry):
         a, d, e, taus, vstore = carry
@@ -144,22 +149,22 @@ def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
             c = s + j
             # -- current column with pending panel updates applied:
             #    a_col = A[:, c] - V W[c,:]^T - W V[c,:]^T
-            a_col = lax.dynamic_slice(a, (0, c), (n, 1))[:, 0]
+            a_col = lax.dynamic_slice(a, (0, c), (m, 1))[:, 0]
             w_row = lax.dynamic_slice(W, (c, 0), (1, b))[0]
             v_row = lax.dynamic_slice(V, (c, 0), (1, b))[0]
             a_col = a_col - V @ w_row - W @ v_row
-            d = d.at[c].set(a_col[c])
+            d = d.at[off + c].set(a_col[c])
             # -- Householder on rows > c+1, pivot c+1
             pivot = c + 1
             tail = jnp.where(rows > pivot, a_col, 0.0)
             alpha = lax.dynamic_slice(
-                a_col, (jnp.minimum(pivot, n - 1),), (1,))[0]
-            v, tau, beta = _householder(tail, alpha, pivot, n)
-            live = c < n - 1
+                a_col, (jnp.minimum(pivot, m - 1),), (1,))[0]
+            v, tau, beta = _householder(tail, alpha, pivot, m)
+            live = c < m - 1
             tau = jnp.where(live, tau, 0.0)
             v = jnp.where(live, v, 0.0)
-            e = jnp.where((rows[: e.shape[0]] == c) & live, beta, e)
-            taus = taus.at[c].set(tau)
+            e = jnp.where((rows_e == off + c) & live, beta, e)
+            taus = taus.at[off + c].set(tau)
             # -- w = tau * (A v - V (W^T v) - W (V^T v)), rows >= c+1
             av = a @ v
             av = av - V @ (W.T @ v) - W @ (V.T @ v)
@@ -169,8 +174,8 @@ def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
             W = lax.dynamic_update_slice(W, w[:, None], (0, j))
             return (V, W, d, e, taus)
 
-        V0 = jnp.zeros((n, b), dtype)
-        W0 = jnp.zeros((n, b), dtype)
+        V0 = jnp.zeros((m, b), dtype)
+        W0 = jnp.zeros((m, b), dtype)
         V, W, d, e, taus = lax.fori_loop(
             0, b, panel_step, (V0, W0, d, e, taus))
         # V/W columns vanish outside the panel's trailing rows, so this
@@ -179,14 +184,12 @@ def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
         vw = jnp.concatenate([V, W], axis=1)
         wv = jnp.concatenate([W, V], axis=1)
         a = _wsc(a - vw @ wv.T, mesh)
-        vstore = lax.dynamic_update_slice(vstore, V, (0, s))
+        vstore = lax.dynamic_update_slice(vstore, V, (off, off + s))
         return (a, d, e, taus, vstore)
 
-    d0 = jnp.zeros((n,), dtype)
-    e0 = jnp.zeros((max(n - 1, 1),), dtype)
-    t0 = jnp.zeros((n,), dtype)
-    v0 = jnp.zeros((n, n), dtype)
-    return lax.fori_loop(0, n_panels, panel, (a, d0, e0, t0, v0))
+    a, d, e, taus, vstore = lax.fori_loop(
+        0, n_panels, panel, (a, d0, e0, t0, vstore0))
+    return a, (vstore, d, e, taus)
 
 
 def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:

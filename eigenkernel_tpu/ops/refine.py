@@ -311,6 +311,12 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         s32, f, lam = _j_sr_blocked(a, v, b, md=md, nc=nc, mesh=mesh)
         v, tiny = _j_corr_big(v, s32, f, lam, tiny, nc=nc,
                               gap_factor=gap_factor, mesh=mesh)
+        # per-step barrier: without it the host enqueues ALL steps ahead,
+        # and every queued step's (k, k) output buffers are allocated at
+        # dispatch — ~2 GB x steps of dead-on-arrival HBM that runtime-
+        # OOM'd the n=16384 run even though each step's plan fits (r5).
+        # One dependent-scalar fetch caps the outstanding set at one step.
+        float(tiny)
     # Cluster cleanup is only needed for pairs Newton FROZE (|gap| <=
     # tiny).  Detecting that costs one (k,) host fetch; when no adjacent
     # gap is below the final threshold (true for non-degenerate spectra,
@@ -390,7 +396,7 @@ def _j_sr_blocked(a, v, b, md, nc, mesh):
 
 
 @partial(jax.jit, static_argnames=("nc", "gap_factor", "mesh"),
-         donate_argnums=(0, 1, 2))
+         donate_argnums=(0,))
 def _j_corr_big(v, s32, f, lam, tiny_prev, nc, gap_factor, mesh):
     """Column-blocked Newton correction: the (k, k) f32 intermediates
     (dl, safe, e) never exist full-width — each fori step forms an

@@ -66,6 +66,12 @@ def _pad_place(x, n: int, n_pad: int, dtype, sharding, eye: bool):
     only applies to host inputs); host inputs are padded in numpy then
     transferred once."""
     if isinstance(x, jax.Array):
+        if (x.shape == (n_pad, n_pad) and x.dtype == np.dtype(dtype)
+                and sharding is None):
+            # already the exact padded form: returning the caller's array
+            # avoids a second device copy (2 GB of f64 at n=16384 — the
+            # margin between fitting and a runtime OOM in mixed 16k)
+            return x
         return _j_pad_device(x, n_real=n, n_pad=n_pad, eye=eye,
                              sharding=sharding, dtype=dtype)
     x_host = np.asarray(x, dtype=dtype)

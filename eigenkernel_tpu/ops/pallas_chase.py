@@ -527,8 +527,10 @@ def band_to_tridiag_pallas(band: jax.Array, bw: int, mesh=None,
             dimension_semantics=("arbitrary",),
             # raise Mosaic's 16 MB scoped-compute ceiling when the
             # align x big-group composition needs it (the r3 G=34+align
-            # compile failure missed it by 284 KB); None = default
-            vmem_limit_bytes=int(os.environ["EK_PALLAS_CHASE_VMEM"])
+            # compile failure missed it by 284 KB); None = default.
+            # NB the knob is in MB (same unit as the state budget above)
+            # — passing it raw handed Mosaic a ceiling of N BYTES.
+            vmem_limit_bytes=int(os.environ["EK_PALLAS_CHASE_VMEM"]) * 2**20
             if os.environ.get("EK_PALLAS_CHASE_VMEM") else None),
         interpret=interpret,
     )

@@ -304,6 +304,8 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     v = v.astype(dtype)
     if b is not None:
         b = b.astype(dtype)
+    from eigenkernel_tpu.obs.mem import memstats
+    memstats("refine_stepwise:entry")
     tiny = jnp.asarray(jnp.inf, dtype)
     lam = None
     for step_i in range(steps):
@@ -317,6 +319,7 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         # OOM'd the n=16384 run even though each step's plan fits (r5).
         # One dependent-scalar fetch caps the outstanding set at one step.
         float(tiny)
+        memstats(f"refine_stepwise:step{step_i}")
     # Cluster cleanup is only needed for pairs Newton FROZE (|gap| <=
     # tiny).  Detecting that costs one (k,) host fetch; when no adjacent
     # gap is below the final threshold (true for non-degenerate spectra,

@@ -195,7 +195,18 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         a64 = _pad_place(a, n, n_pad, f64, sharding, eye=False)
         b64 = _pad_place(b, n, n_pad, f64, sharding, eye=True) \
             if b is not None else None
-        v_pad = jnp.zeros((n_pad, n_vec), vectors.dtype).at[:n, :].set(vectors)
+        from eigenkernel_tpu.ops.refine import refine_stepwise, use_stepwise
+        from eigenkernel_tpu.obs.mem import memstats
+        stepwise = use_stepwise(n_pad)
+        # stepwise path: pad straight into f64 (it refines in f64 anyway)
+        # so the f32 eigenvector buffer can be freed here instead of
+        # staying caller-held across every refinement jit — XLA's memory
+        # plan never sees caller-held arrays, so each GB shaved here is
+        # a GB of real runtime headroom (the r5 16k runtime OOM happened
+        # with a plan that "fit")
+        v_pad = jnp.zeros((n_pad, n_vec),
+                          np.float64 if stepwise else vectors.dtype) \
+            .at[:n, :].set(vectors)
         # the f32 pipeline buffers (a_dev, z and its vectors view) are
         # dead from here on but would otherwise stay device-resident
         # across the refinement jits — ~3 GB at n=16384, on top of a
@@ -203,9 +214,9 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
         del a_dev, vectors, w, z
         if b is not None:
             del b_dev
-        from eigenkernel_tpu.ops.refine import refine_stepwise, use_stepwise
+        memstats("solve:pre_refine")
         with jax.default_matmul_precision("highest"):
-            if use_stepwise(n_pad):
+            if stepwise:
                 # huge-n TPU path: host-level step loop with donated v —
                 # one whole-refinement jit planned 74 GB HBM at n=16384
                 values, v_pad = refine_stepwise(a64, v_pad, b64, ctx_mesh)

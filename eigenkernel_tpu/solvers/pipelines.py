@@ -73,6 +73,8 @@ class SolverContext:
             jax.block_until_ready(out)
             dt = time.time() - t0
             self.log.add_event(name, dt)
+            from eigenkernel_tpu.obs.mem import memstats
+            memstats(f"tick:{name}")
             if flops and dt > 0:
                 # backend GFLOPS self-report analog (the reference re-logs
                 # EigenExa's '!'-prefixed Gflops timer entries,

@@ -9,6 +9,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 from eigenkernel_tpu.solvers import solve
 from eigenkernel_tpu.ops.ozaki import ozaki_matmul_chunked
+from eigenkernel_tpu.obs.mem import memstats
+
+# a leaked/degraded worker after a prior OOM crash is indistinguishable
+# from a real OOM without this: print the allocator state up front
+memstats("exp19:process_start", force=True)
 
 n = int(os.environ.get("N", "16384"))
 mode = os.environ.get("EK_REFINE_GEMM", "auto")

@@ -13,6 +13,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, "/root/repo")
 from eigenkernel_tpu.solvers import solve
 from eigenkernel_tpu.obs.events import EventLog
+from eigenkernel_tpu.obs.mem import memstats
+
+memstats("exp33:process_start", force=True)
 
 n = int(os.environ.get("N", "32768"))
 k = int(os.environ.get("K", "500"))
@@ -24,6 +27,7 @@ a *= 0.5
 ad = jnp.asarray(a)  # upload once (~4.3 GB; minutes through the tunnel)
 w_host = None
 del a
+memstats("exp33:after_upload", force=True)
 
 for it in range(int(os.environ.get("REPEATS", "2"))):
     log = EventLog(stream=False)

@@ -310,7 +310,16 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     lam = None
     for step_i in range(steps):
         md = sched[min(step_i, len(sched) - 1)]
-        s32, f, lam = _j_sr_blocked(a, v, b, md=md, nc=nc, mesh=mesh)
+        # Equalize per-step memory across the truncation schedule: the
+        # chunked-GEMM slice temps scale ~ md * nc, so a step at md=9
+        # needs ~1.8x the HBM of the md=5 step at the same nc.  That is
+        # exactly how the 16k hardware run died (r5 chain F: step 0
+        # [md=5] completed, step 1 [md=9] RESOURCE_EXHAUSTED).  Shrink
+        # the column block so md * nc stays at the schedule-head value.
+        nc_step = nc if md <= sched[0] else max(
+            min(256, nc), (nc * sched[0] // md) // 128 * 128)
+        nc_step = min(nc_step, v.shape[1])
+        s32, f, lam = _j_sr_blocked(a, v, b, md=md, nc=nc_step, mesh=mesh)
         v, tiny = _j_corr_big(v, s32, f, lam, tiny, nc=nc,
                               gap_factor=gap_factor, mesh=mesh)
         # per-step barrier: without it the host enqueues ALL steps ahead,

@@ -283,8 +283,10 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
     * the O(err)-sized correction algebra runs in f32 in a separate jit
       with v/S32/F donated (absolute error err * eps32, far below the
       1e-12 bar; the gap dl is formed from the f64 lam THEN cast);
-    * the cluster cleanup is three more small jits: full-depth blocked
-      S, adjacent-Jacobi (s donated), and a blocked V @ J apply.
+    * the cluster cleanup is CLUSTER-LIMITED: only the columns inside
+      below-threshold spectral runs are projected and Jacobi-rotated
+      (O(n*m) with m = cluster mass — the full (k,k) f64 Jacobi OOM'd
+      at k=16384 on hardware even after every Newton step fit).
     """
     import os
 
@@ -331,27 +333,112 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         memstats(f"refine_stepwise:step{step_i}")
     # Cluster cleanup is only needed for pairs Newton FROZE (|gap| <=
     # tiny).  Detecting that costs one (k,) host fetch; when no adjacent
-    # gap is below the final threshold (true for non-degenerate spectra,
-    # e.g. random test matrices), skip the (k,k) f64 Jacobi entirely —
-    # at k=16384 its emulated-f64 rotation passes are the next HBM
-    # hazard after the residual jits.  EK_REFINE_CLEANUP=1/0 forces.
+    # gap is below the final threshold, skip it entirely.  When clusters
+    # DO exist, the cleanup is CLUSTER-LIMITED: frozen pairs are
+    # contiguous runs in the sorted spectrum, so only the m cluster
+    # columns (m << k) are projected, Jacobi-rotated, and written back —
+    # the full (k,k) f64 Jacobi (6 passes x 3 rotations of a 2 GB matrix
+    # plus transposed copies) RESOURCE_EXHAUSTED at k=16384 on hardware
+    # (r5 chain H) even after every earlier stage fit.  Independent
+    # clusters are batched into groups of <= EK_REFINE_CLUSTER_CAP
+    # columns so one jit never sees more than cap-wide temps.
+    # EK_REFINE_CLEANUP=1/0 forces the decision.
     import numpy as np
 
     force = os.environ.get("EK_REFINE_CLEANUP", "auto")
     lam_h = np.asarray(jax.device_get(lam))
+    thr = float(jax.device_get(tiny))
     gap_min = float(np.min(np.diff(np.sort(lam_h)))) if lam_h.size > 1 \
         else float("inf")
-    skip = gap_min > float(jax.device_get(tiny)) if force == "auto" \
-        else force == "0"
-    if skip:
-        lam = _j_diag_blocked(a, v, b, nc=nc, mesh=mesh)
-        order = np.argsort(np.asarray(jax.device_get(lam)))
+    skip = gap_min > thr if force == "auto" else force == "0"
+    if not skip:
+        # cluster members must be CONTIGUOUS COLUMNS: sort first (lam is
+        # the last pre-correction Rayleigh quotient — accurate to ~err,
+        # far finer than the cluster threshold)
+        order = np.argsort(lam_h)
         if not np.array_equal(order, np.arange(order.size)):
             lam, v = _j_reorder(lam, v, tuple(order.tolist()))
-        return lam, v
-    s = _j_s_full_blocked(a, v, nc=nc, mesh=mesh)
-    lam, j_rot = _j_jacobi_big(s)
-    return _j_apply_big(v, j_rot, lam, b, nc=nc, mesh=mesh)
+            lam_h = lam_h[order]
+        cap = int(os.environ.get("EK_REFINE_CLUSTER_CAP", "4096"))
+        for group in _segment_groups(_cluster_segments(lam_h, thr), cap):
+            v = _j_cluster_cleanup(a, v, segs=group, mesh=mesh)
+    lam = _j_diag_blocked(a, v, b, nc=nc, mesh=mesh)
+    order = np.argsort(np.asarray(jax.device_get(lam)))
+    if not np.array_equal(order, np.arange(order.size)):
+        lam, v = _j_reorder(lam, v, tuple(order.tolist()))
+    return lam, v
+
+
+def _cluster_segments(lam_sorted, thr: float):
+    """Maximal runs of adjacent (sorted) eigenvalues with gap <= thr,
+    as half-open column ranges [(s0, s1), ...] of length >= 2."""
+    import numpy as np
+
+    segs = []
+    close = np.diff(lam_sorted) <= thr
+    i = 0
+    while i < close.size:
+        if close[i]:
+            j = i
+            while j < close.size and close[j]:
+                j += 1
+            segs.append((int(i), int(j + 1)))
+            i = j
+        else:
+            i += 1
+    return segs
+
+
+def _segment_groups(segs, cap: int):
+    """Pack independent cluster segments into groups of total width
+    <= cap (a single segment wider than cap keeps its own group — a
+    cluster cannot be split)."""
+    groups, cur, width = [], [], 0
+    for s0, s1 in segs:
+        w = s1 - s0
+        if cur and width + w > cap:
+            groups.append(tuple(cur))
+            cur, width = [], 0
+        cur.append((s0, s1))
+        width += w
+    if cur:
+        groups.append(tuple(cur))
+    return groups
+
+
+@partial(jax.jit, static_argnames=("segs", "mesh"), donate_argnums=(1,))
+def _j_cluster_cleanup(a, v, segs, mesh):
+    """Diagonalize the projected matrix of the cluster columns in
+    ``segs`` and rotate those columns of ``v`` in place.
+
+    The projected S_cl = V_cl^T A V_cl is formed f64-exact (Ozaki
+    chunked GEMMs); cross-segment entries are masked to zero so the
+    adjacent-Jacobi rotation is EXACTLY block-diagonal per cluster (the
+    masked pairs get apq = 0 -> identity rotation).  Temps are O(n*m +
+    m^2) with m = total cluster width — independent of k."""
+    from eigenkernel_tpu.ops import ozaki
+
+    dtype = a.dtype
+    n = v.shape[0]
+    vcl = jnp.concatenate(
+        [lax.slice(v, (0, s0), (n, s1)) for s0, s1 in segs], axis=1)
+    avcl = ozaki.ozaki_matmul_chunked(a, vcl, out_dtype=dtype)
+    s_cl = ozaki.ozaki_matmul_chunked(vcl, avcl, out_dtype=dtype,
+                                      transpose_a=True)
+    seg_id = jnp.concatenate(
+        [jnp.full((s1 - s0,), i, jnp.int32)
+         for i, (s0, s1) in enumerate(segs)])
+    s_cl = jnp.where(seg_id[:, None] == seg_id[None, :], s_cl, 0.0)
+    _, j_rot = _adjacent_jacobi(s_cl, passes=6)
+    # full-precision apply: j_rot carries O(1) in-cluster rotations
+    vnew = ozaki.ozaki_matmul_chunked(vcl, j_rot, out_dtype=dtype)
+    off = 0
+    for s0, s1 in segs:
+        w = s1 - s0
+        v = lax.dynamic_update_slice(
+            v, lax.slice(vnew, (0, off), (n, off + w)), (0, s0))
+        off += w
+    return _wsc(v, mesh)
 
 
 def _diag_mask(k: int, nc: int, j0, dtype):
@@ -451,26 +538,6 @@ def _j_corr_big(v, s32, f, lam, tiny_prev, nc, gap_factor, mesh):
 
 
 @partial(jax.jit, static_argnames=("nc", "mesh"))
-def _j_s_full_blocked(a, v, nc, mesh):
-    """Full-depth (q=11) S = V^T A V in f64, column-blocked."""
-    from eigenkernel_tpu.ops import ozaki
-
-    dtype = a.dtype
-    n, k = v.shape
-    nb = -(-k // nc)
-
-    def body(jb, s):
-        j0 = jnp.minimum(jb * nc, k - nc)
-        vb = lax.dynamic_slice(v, (0, j0), (n, nc))
-        avb = ozaki.ozaki_matmul_chunked(a, vb, out_dtype=dtype)
-        sb = ozaki.ozaki_matmul_chunked(v, avb, out_dtype=dtype,
-                                        transpose_a=True)
-        return lax.dynamic_update_slice(s, sb, (0, j0))
-
-    return _wsc(lax.fori_loop(0, nb, body, jnp.zeros((k, k), dtype)), mesh)
-
-
-@partial(jax.jit, static_argnames=("nc", "mesh"))
 def _j_diag_blocked(a, v, b, nc, mesh):
     """Rayleigh quotients only: lam_j = (v_j^T A v_j) / (v_j^T B v_j),
     column-blocked — no (k, k) slab is ever formed.  Used by the
@@ -502,42 +569,6 @@ def _j_diag_blocked(a, v, b, nc, mesh):
 def _j_reorder(lam, v, order):
     idx = jnp.asarray(order)
     return lam[idx], jnp.take(v, idx, axis=1)
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _j_jacobi_big(s):
-    s, j_rot = _adjacent_jacobi(s, passes=6)
-    k = s.shape[0]
-    lam = lax.slice(s.reshape(-1), (0,), ((k - 1) * (k + 1) + 1,), (k + 1,))
-    return lam, j_rot
-
-
-@partial(jax.jit, static_argnames=("nc", "mesh"))
-def _j_apply_big(v, j_rot, lam, b, nc, mesh):
-    """Blocked V @ J (and generalized Rayleigh rescale), final sort."""
-    from eigenkernel_tpu.ops import ozaki
-
-    dtype = v.dtype
-    n, k = v.shape
-
-    def _blocked_mm(lhs, rhs):
-        nb = -(-rhs.shape[1] // nc)
-
-        def body(jb, out):
-            j0 = jnp.minimum(jb * nc, rhs.shape[1] - nc)
-            rb = lax.dynamic_slice(rhs, (0, j0), (rhs.shape[0], nc))
-            ob = ozaki.ozaki_matmul_chunked(lhs, rb, out_dtype=dtype)
-            return lax.dynamic_update_slice(out, ob, (0, j0))
-
-        return lax.fori_loop(0, nb, body,
-                             jnp.zeros((lhs.shape[0], rhs.shape[1]), dtype))
-
-    v = _wsc(_blocked_mm(v, j_rot), mesh)
-    if b is not None:
-        bv = _wsc(_blocked_mm(b, v), mesh)
-        lam = lam / jnp.sum(v * bv, axis=0)
-    order = jnp.argsort(lam)
-    return lam[order], v[:, order]
 
 
 def _adjacent_jacobi(s: jax.Array, passes: int = 6):

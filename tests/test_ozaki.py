@@ -193,6 +193,10 @@ def test_refine_stepwise_clustered(monkeypatch):
 
     monkeypatch.setenv("EK_REFINE_STEPWISE", "1")
     monkeypatch.setenv("EK_OZAKI_KC", "96")
+    # force the cluster-limited cleanup to split the two engineered
+    # clusters (widths 4 and 2) into separate groups — exercises the
+    # multi-group write-back path the 16k hardware run relies on
+    monkeypatch.setenv("EK_REFINE_CLUSTER_CAP", "4")
     n = 160
     rng = np.random.default_rng(11)
     q, _ = np.linalg.qr(rng.standard_normal((n, n)))

@@ -129,6 +129,38 @@ def _tridiag_rec(a: jax.Array, b: int, mesh: Optional[Mesh],
     return _tridiag_rec(a[mid:, mid:], b, mesh, split, store, off + mid)
 
 
+def _rank2b_update(a: jax.Array, vw: jax.Array, wv: jax.Array) -> jax.Array:
+    """``a - vw @ wv.T`` with the (m, m) GEMM temp bounded: above
+    EK_SYTRD_UPDATE_TEMP_MB (default 1024 — n=16384 f32 stays one GEMM)
+    the update runs in row blocks of the largest panel-multiple divisor
+    that keeps the block temp under the cap.  At n=32768 f32 the single
+    (m, m) product temp is 4 GB; together with the loop-carried ``a``
+    and the reflector store it pushed the selecting-32k plan past HBM
+    (r5 chains B/F).  Row blocks partition exactly (divisor of m), so
+    each row is updated once — an overlapped last block would subtract
+    the update twice."""
+    import os
+
+    m = a.shape[0]
+    limit_mb = int(os.environ.get("EK_SYTRD_UPDATE_TEMP_MB", "1024"))
+    if m * m * a.dtype.itemsize <= limit_mb << 20 or m < 128:
+        return a - vw @ wv.T
+    rc = max(64, min(m, (limit_mb << 20) // (m * a.dtype.itemsize))
+             // 64 * 64)
+    while m % rc:
+        rc -= 64
+    nb = m // rc
+    wvt = wv.T
+
+    def body(i, a):
+        r0 = i * rc
+        blk = lax.dynamic_slice(a, (r0, 0), (rc, m))
+        vb = lax.dynamic_slice(vw, (r0, 0), (rc, vw.shape[1]))
+        return lax.dynamic_update_slice(a, blk - vb @ wvt, (r0, 0))
+
+    return lax.fori_loop(0, nb, body, a)
+
+
 def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
                     n_panels: int, store, off: int):
     """Run ``n_panels`` leading panels on the (level-sized) matrix ``a``;
@@ -183,7 +215,7 @@ def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
         # concatenated into ONE GEMM (one pass over a, not two).
         vw = jnp.concatenate([V, W], axis=1)
         wv = jnp.concatenate([W, V], axis=1)
-        a = _wsc(a - vw @ wv.T, mesh)
+        a = _wsc(_rank2b_update(a, vw, wv), mesh)
         vstore = lax.dynamic_update_slice(vstore, V, (off, off + s))
         return (a, d, e, taus, vstore)
 

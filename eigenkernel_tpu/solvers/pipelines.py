@@ -124,6 +124,16 @@ def _j_tridiagonalize(a, block, mesh):
     return householder.tridiagonalize(a, block=block, mesh=mesh)
 
 
+@partial(jax.jit, static_argnames=("block", "mesh"), donate_argnums=(0,))
+def _j_tridiagonalize_donated(a, block, mesh):
+    # donating `a` lets XLA reuse its buffer as the panel-loop carry
+    # instead of copying it — 4 GB of the selecting-32k HBM budget
+    # (evidence/BUDGET_32K_r5.md).  Selected when the input is an
+    # internal copy (sentinel-padded) or under EK_SYTRD_DONATE=1
+    # (caller's array is DESTROYED).
+    return householder.tridiagonalize(a, block=block, mesh=mesh)
+
+
 @partial(jax.jit, static_argnames=("n_vec", "mesh"))
 def _j_tridiag_eigh(d, e, n_vec, mesh):
     return td.tridiag_eigh(d, e, n_vec=n_vec, mesh=mesh)
@@ -164,8 +174,16 @@ def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int,
     """pdsytrd + tridiagonal-solve + pdormtr analog (see module doc)."""
     from eigenkernel_tpu.obs import flops as fl
 
+    import os
+
     n = a.shape[0]
-    tri = _run(ctx, "sep:tridiagonalize", _j_tridiagonalize,
+    # a sentinel-padded input (n_real < n) is an internal copy the
+    # pipeline never reads again — donate it; a caller-owned buffer is
+    # only donated on explicit request (EK_SYTRD_DONATE=1 destroys it)
+    donate = (n_real is not None and n_real != n) \
+        or os.environ.get("EK_SYTRD_DONATE") == "1"
+    tri_fn = _j_tridiagonalize_donated if donate else _j_tridiagonalize
+    tri = _run(ctx, "sep:tridiagonalize", tri_fn,
                a, ctx.block_size, ctx.mesh, flops=fl.tridiagonalize(n))
     full = n_vec * 2 >= n
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,

@@ -65,6 +65,26 @@ def test_tridiagonalize_similarity(sym_factory):
     assert np.abs(Q @ T @ Q.T - A).max() < 1e-12
 
 
+def test_tridiagonalize_chunked_update_bitexact(sym_factory, monkeypatch):
+    # the huge-n row-blocked rank-2b trailing update (EK_SYTRD_UPDATE_
+    # TEMP_MB cap, selecting-32k memory fix) must partition exactly —
+    # an overlapped block would subtract the update twice.  Forcing the
+    # cap to 0 chunks at every size; results must be BIT-identical to
+    # the single-GEMM form (same multiplies, same order per row).
+    n, b = 192, 64
+    A = sym_factory(n)
+    ref = tridiagonalize(jnp.asarray(A), block=b)
+    monkeypatch.setenv("EK_SYTRD_UPDATE_TEMP_MB", "0")
+    import jax
+
+    jax.clear_caches()  # the env knob is read at trace time
+    chunked = tridiagonalize(jnp.asarray(A), block=b)
+    jax.clear_caches()
+    assert np.array_equal(np.array(ref.d), np.array(chunked.d))
+    assert np.array_equal(np.array(ref.e), np.array(chunked.e))
+    assert np.array_equal(np.array(ref.V), np.array(chunked.V))
+
+
 def test_bisect_eigenvalues(sym_factory):
     A = sym_factory(100)
     tri = tridiagonalize(jnp.asarray(A), block=50)

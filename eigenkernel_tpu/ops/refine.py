@@ -359,7 +359,13 @@ def refine_stepwise(a: jax.Array, v: jax.Array, b: jax.Array | None = None,
         if not np.array_equal(order, np.arange(order.size)):
             lam, v = _j_reorder(lam, v, tuple(order.tolist()))
             lam_h = lam_h[order]
-        cap = int(os.environ.get("EK_REFINE_CLUSTER_CAP", "4096"))
+        # cap=1024 (not 4096): the cleanup's chunked-Ozaki scan bodies
+        # hold ~dozens of (n, m_group) f32 product/TwoSum temps — at
+        # m=2049 the r5 chain-I compile demanded 16.94 GB (~12 GB of
+        # 128 MB temps).  Every such temp scales with the group width,
+        # so a 1024 cap quarters them (~3 GB) at the cost of one extra
+        # group compile per ~1024 clustered columns.
+        cap = int(os.environ.get("EK_REFINE_CLUSTER_CAP", "1024"))
         for group in _segment_groups(_cluster_segments(lam_h, thr), cap):
             v = _j_cluster_cleanup(a, v, segs=group, mesh=mesh)
     lam = _j_diag_blocked(a, v, b, nc=nc, mesh=mesh)

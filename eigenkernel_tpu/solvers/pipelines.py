@@ -262,7 +262,12 @@ SEP_CORES = {
 def standard_pipeline(ctx: SolverContext, a: jax.Array, n_vec: int,
                       n_real: int, core: str):
     """Standard EVP: sentinel-pad, run the SEP core, slice real rows."""
-    a = _j_sentinelize(a, n_real)
+    if n_real != a.shape[0]:
+        # only when padding exists: an identity jit (n_real == n) still
+        # copies its 4.3 GB input at n=32768 — and the copy, the caller's
+        # buffer, and the reflector store together overflow HBM (r5
+        # chain-J runtime OOM during the 32k tridiagonalize)
+        a = _j_sentinelize(a, n_real)
     w, z = SEP_CORES[core](ctx, a, n_vec, n_real=n_real)
     return w, z
 
@@ -287,7 +292,8 @@ def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
         a_std, factor = _run(ctx, "reduce_generalized", _j_reduce_scalapack,
                              a, b, ctx.gemm_block, ctx.mesh,
                              flops=fl.reduce_scalapack(n))
-    a_std = _j_sentinelize(a_std, n_real)
+    if n_real != a_std.shape[0]:  # identity jit still copies (see above)
+        a_std = _j_sentinelize(a_std, n_real)
     w, z = SEP_CORES[core](ctx, a_std, n_vec, n_real=n_real)
     recover_style = "elpa" if reduction_style == "elpa" else "scalapack"
     x = _run(ctx, "recovery_generalized", _j_recover,

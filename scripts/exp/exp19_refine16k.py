@@ -28,10 +28,12 @@ def quality(w, v, ad):
     # residual at f64 via the Ozaki GEMM (exact MXU slice products) —
     # the plain emulated-f64 TPU matmul has a ~1.8e-9 truncation floor,
     # which would hide sub-1e-9 residuals.  Checked on a strided
-    # 4096-column subset (spans the spectrum): the full-width f64
-    # operands + Ozaki slices would transiently need ~13 GB HBM.
-    v64 = v[:, ::4].astype(jnp.float64)
-    w64 = w[::4].astype(jnp.float64)
+    # 1024-column subset (spans the spectrum): at 4096 columns the
+    # chunked-Ozaki scan bodies held ~16 GB of (n, 4096) f32 product/
+    # TwoSum temps and the check itself OOM'd AFTER the refinement
+    # succeeded (r5 chain K).
+    v64 = v[:, ::16].astype(jnp.float64)
+    w64 = w[::16].astype(jnp.float64)
     k = v64.shape[1]
     av = ozaki_matmul_chunked(ad, v64)
     r = av - v64 * w64[None, :]

@@ -329,7 +329,14 @@ def tridiag_eigh(d: jax.Array, e: jax.Array, n_vec: Optional[int] = None,
 
     method = os.environ.get("EK_SOLVE", "auto")
     if method == "auto":
-        method = "pallas" if jax.default_backend() == "tpu" else "scan"
+        # The Pallas kernel's per-program output slice is stack-allocated
+        # in scoped VMEM by the Mosaic lowering; at n=24576 that demands
+        # 28 MB against the 16 MB scoped limit and the COMPILE fails
+        # (measured 2026-08-20, chain P).  n<=16384 is the hardware-
+        # validated domain; beyond it the chunked scan path works at any
+        # size (it streams rows through a fori carry instead).
+        on_tpu = jax.default_backend() == "tpu"
+        method = "pallas" if (on_tpu and n <= 16384) else "scan"
     solver = tridiag_solve_shifted
     if method == "pallas":
         from eigenkernel_tpu.ops.pallas_solve import tridiag_solve_pallas

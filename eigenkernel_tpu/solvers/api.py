@@ -148,6 +148,18 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     grid = mesh if mesh is not None else meshlib.single_device_mesh()
     panel = min(panel, max(8, 1 << (n - 1).bit_length()))  # don't over-pad tiny n
     n_pad = meshlib.padded_dim(n, grid, panel)
+    # EK_FORCE_NPAD: pad the working dimension up to (at least) the given
+    # value.  Diagnostic / platform-wall workaround knob: on the tunneled
+    # v5e worker, programs whose dominant (n_pad, n_pad) f32 buffer is
+    # exactly 2^32 bytes (n_pad = 32768) hard-crash the worker mid-sytrd
+    # while 28672 passes (evidence/SWEEP_r5.md chains L/N/O/Q) — padding
+    # one panel past the 4 GiB line changes every buffer size without
+    # changing the logical problem (sentinel padding keeps the lowest
+    # n_real eigenpairs exact).
+    import os as _os
+    _force = int(_os.environ.get("EK_FORCE_NPAD", "0"))
+    if _force > n_pad:
+        n_pad = meshlib.padded_dim(_force, grid, panel)
     gemm_block = _pick_gemm_block(n_pad, panel)
 
     ctx = pl.SolverContext(mesh=ctx_mesh, block_size=panel,

@@ -86,6 +86,22 @@ def test_odd_dimension_padding(problem):
     assert p.vectors.shape == (n, n)
 
 
+def test_force_npad(problem, monkeypatch):
+    """EK_FORCE_NPAD pads the working dim past the natural multiple without
+    changing results — the dodge for the 2^32-byte buffer platform wall
+    (evidence/SWEEP_r5.md chain S: n_pad=32768 f32 = exactly 4 GiB crashes
+    the TPU worker; one extra panel of sentinel padding avoids the size)."""
+    A, _, wstd, _ = problem
+    p0 = solve(A, solver="scalapack_select", n_vec=10)
+    monkeypatch.setenv("EK_FORCE_NPAD", "160")
+    p1 = solve(A, solver="scalapack_select", n_vec=10)
+    assert p1.vectors.shape == (N, 10)
+    assert np.abs(np.array(p1.values) - np.array(p0.values)).max() < 1e-12
+    V = np.array(p1.vectors)
+    resid = A @ V - V * np.array(p1.values)[None, :]
+    assert np.abs(resid).max() < 1e-10
+
+
 def test_float32(problem):
     # residual-based bound (VERDICT r2 #8): ~1e-5 * ||A||_F catches a
     # mis-scaled reflector that the old 5e-3 eigenvalue bound would hide

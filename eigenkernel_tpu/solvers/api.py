@@ -188,7 +188,8 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
     a_dev = _pad_place(a, n, n_pad, np_dtype, sharding, eye=False)
 
     if b is None:
-        w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, core)
+        w, z = pl.standard_pipeline(ctx, a_dev, n_vec, n, core,
+                                    owned=a_dev is not a)
     else:
         b_dev = _pad_place(b, n, n_pad, np_dtype, sharding, eye=True)
         w, z = pl.generalized_pipeline(ctx, a_dev, b_dev, n_vec, n,

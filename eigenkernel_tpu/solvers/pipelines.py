@@ -149,8 +149,7 @@ def _j_eigh(a):
     return jnp.linalg.eigh(a)
 
 
-@partial(jax.jit, static_argnames=("n_real",))
-def _j_sentinelize(a, n_real):
+def _sentinelize_impl(a, n_real):
     """Set the padding diagonal of ``a`` to a value strictly above the
     spectrum of the leading ``n_real`` block (Gershgorin), so padded
     eigenpairs sort last and the lowest n_real eigenpairs are the real ones.
@@ -163,6 +162,16 @@ def _j_sentinelize(a, n_real):
     pad_mask = idx >= n_real
     diag_new = jnp.where(pad_mask, mu, jnp.diag(a))
     return a - jnp.diag(jnp.diag(a)) + jnp.diag(diag_new)
+
+
+_j_sentinelize = partial(jax.jit, static_argnames=("n_real",))(
+    _sentinelize_impl)
+# donated variant for pipeline-owned inputs: without donation the
+# pre-sentinel padded copy stays live (caller-held in solve's frame)
+# through the whole core — at n_pad=32832 f32 that extra 4.3 GB put the
+# padded selecting-32k run past HBM (r5 chain-S runtime OOM)
+_j_sentinelize_donated = partial(jax.jit, static_argnames=("n_real",),
+                                 donate_argnums=(0,))(_sentinelize_impl)
 
 
 # ----------------------------------------------------------------------
@@ -260,14 +269,19 @@ SEP_CORES = {
 # ----------------------------------------------------------------------
 
 def standard_pipeline(ctx: SolverContext, a: jax.Array, n_vec: int,
-                      n_real: int, core: str):
-    """Standard EVP: sentinel-pad, run the SEP core, slice real rows."""
+                      n_real: int, core: str, owned: bool = False):
+    """Standard EVP: sentinel-pad, run the SEP core, slice real rows.
+
+    ``owned=True`` means ``a`` is a pipeline-internal copy (solve's
+    _pad_place made it) — the sentinelize jit then donates it, so the
+    pre-sentinel buffer is reused instead of staying caller-held through
+    the core (4.3 GB at n_pad=32832, the r5 chain-S OOM margin)."""
     if n_real != a.shape[0]:
         # only when padding exists: an identity jit (n_real == n) still
         # copies its 4.3 GB input at n=32768 — and the copy, the caller's
         # buffer, and the reflector store together overflow HBM (r5
         # chain-J runtime OOM during the 32k tridiagonalize)
-        a = _j_sentinelize(a, n_real)
+        a = (_j_sentinelize_donated if owned else _j_sentinelize)(a, n_real)
     w, z = SEP_CORES[core](ctx, a, n_vec, n_real=n_real)
     return w, z
 
@@ -293,7 +307,8 @@ def generalized_pipeline(ctx: SolverContext, a: jax.Array, b: jax.Array,
                              a, b, ctx.gemm_block, ctx.mesh,
                              flops=fl.reduce_scalapack(n))
     if n_real != a_std.shape[0]:  # identity jit still copies (see above)
-        a_std = _j_sentinelize(a_std, n_real)
+        # a_std is always the reduction jit's own output — donate it
+        a_std = _j_sentinelize_donated(a_std, n_real)
     w, z = SEP_CORES[core](ctx, a_std, n_vec, n_real=n_real)
     recover_style = "elpa" if reduction_style == "elpa" else "scalapack"
     x = _run(ctx, "recovery_generalized", _j_recover,

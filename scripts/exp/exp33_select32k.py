@@ -33,14 +33,22 @@ a = rng.standard_normal((n, n), dtype=np.float32)
 a += a.T.copy()
 a *= 0.5
 
+HOST_INPUT = os.environ.get("HOST_INPUT", "0") == "1"
 p = None
 for it in range(int(os.environ.get("REPEATS", "2"))):
     if p is not None:
         import gc
         p = None
         gc.collect()
-    ad = jnp.asarray(a)  # ~4.3 GB upload; destroyed by the donated solve
-    float(jnp.sum(ad[:1, :1]))
+    if HOST_INPUT:
+        # padded runs (EK_FORCE_NPAD): hand solve() the HOST array so the
+        # only device-resident copy is the padded one _pad_place builds —
+        # a device input would add its own 4.3 GB next to the padded copy
+        # (r5 chain-S runtime OOM at n_pad=32832)
+        ad = a
+    else:
+        ad = jnp.asarray(a)  # ~4.3 GB upload; destroyed by the donated solve
+        float(jnp.sum(ad[:1, :1]))
     memstats(f"exp33:after_upload_{it}", force=True)
     log = EventLog(stream=False)
     t0 = time.time()

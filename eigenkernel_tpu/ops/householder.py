@@ -161,67 +161,158 @@ def _rank2b_update(a: jax.Array, vw: jax.Array, wv: jax.Array) -> jax.Array:
     return lax.fori_loop(0, nb, body, a)
 
 
+def _panel_body(p, carry, b: int, mesh: Optional[Mesh], off: int):
+    """One blocked dlatrd panel (index ``p``, traced or static) on the
+    carry ``(a, d, e, taus, vstore)``.  Shared by the one-program
+    bucketed schedule (`_tridiag_panels`) and the host-stepped uniform
+    schedule (`tridiagonalize_staged`)."""
+    a, d, e, taus, vstore = carry
+    m = a.shape[0]
+    dtype = a.dtype
+    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
+    rows_e = lax.broadcasted_iota(jnp.int32, (e.shape[0],), 0)
+    s = p * b
+
+    def panel_step(j, inner):
+        V, W, d, e, taus = inner
+        c = s + j
+        # -- current column with pending panel updates applied:
+        #    a_col = A[:, c] - V W[c,:]^T - W V[c,:]^T
+        a_col = lax.dynamic_slice(a, (0, c), (m, 1))[:, 0]
+        w_row = lax.dynamic_slice(W, (c, 0), (1, b))[0]
+        v_row = lax.dynamic_slice(V, (c, 0), (1, b))[0]
+        a_col = a_col - V @ w_row - W @ v_row
+        d = d.at[off + c].set(a_col[c])
+        # -- Householder on rows > c+1, pivot c+1
+        pivot = c + 1
+        tail = jnp.where(rows > pivot, a_col, 0.0)
+        alpha = lax.dynamic_slice(
+            a_col, (jnp.minimum(pivot, m - 1),), (1,))[0]
+        v, tau, beta = _householder(tail, alpha, pivot, m)
+        live = c < m - 1
+        tau = jnp.where(live, tau, 0.0)
+        v = jnp.where(live, v, 0.0)
+        e = jnp.where((rows_e == off + c) & live, beta, e)
+        taus = taus.at[off + c].set(tau)
+        # -- w = tau * (A v - V (W^T v) - W (V^T v)), rows >= c+1
+        av = a @ v
+        av = av - V @ (W.T @ v) - W @ (V.T @ v)
+        w = tau * jnp.where(rows >= pivot, av, 0.0)
+        w = w - (0.5 * tau * (w @ v)) * v
+        V = lax.dynamic_update_slice(V, v[:, None], (0, j))
+        W = lax.dynamic_update_slice(W, w[:, None], (0, j))
+        return (V, W, d, e, taus)
+
+    V0 = jnp.zeros((m, b), dtype)
+    W0 = jnp.zeros((m, b), dtype)
+    V, W, d, e, taus = lax.fori_loop(
+        0, b, panel_step, (V0, W0, d, e, taus))
+    # V/W columns vanish outside the panel's trailing rows, so this
+    # full-size rank-2b update touches exactly the trailing block —
+    # concatenated into ONE GEMM (one pass over a, not two).
+    vw = jnp.concatenate([V, W], axis=1)
+    wv = jnp.concatenate([W, V], axis=1)
+    a = _wsc(_rank2b_update(a, vw, wv), mesh)
+    vstore = lax.dynamic_update_slice(vstore, V, (off, off + s))
+    return (a, d, e, taus, vstore)
+
+
 def _tridiag_panels(a: jax.Array, b: int, mesh: Optional[Mesh],
                     n_panels: int, store, off: int):
     """Run ``n_panels`` leading panels on the (level-sized) matrix ``a``;
     returns the updated matrix and the full-size ``store`` with this
     level's (d, e, taus, V) written at static offset ``off``."""
-    m = a.shape[0]
-    dtype = a.dtype
-    rows = lax.broadcasted_iota(jnp.int32, (m,), 0)
     vstore0, d0, e0, t0 = store
-    rows_e = lax.broadcasted_iota(jnp.int32, (e0.shape[0],), 0)
-
-    def panel(p, carry):
-        a, d, e, taus, vstore = carry
-        s = p * b
-
-        def panel_step(j, inner):
-            V, W, d, e, taus = inner
-            c = s + j
-            # -- current column with pending panel updates applied:
-            #    a_col = A[:, c] - V W[c,:]^T - W V[c,:]^T
-            a_col = lax.dynamic_slice(a, (0, c), (m, 1))[:, 0]
-            w_row = lax.dynamic_slice(W, (c, 0), (1, b))[0]
-            v_row = lax.dynamic_slice(V, (c, 0), (1, b))[0]
-            a_col = a_col - V @ w_row - W @ v_row
-            d = d.at[off + c].set(a_col[c])
-            # -- Householder on rows > c+1, pivot c+1
-            pivot = c + 1
-            tail = jnp.where(rows > pivot, a_col, 0.0)
-            alpha = lax.dynamic_slice(
-                a_col, (jnp.minimum(pivot, m - 1),), (1,))[0]
-            v, tau, beta = _householder(tail, alpha, pivot, m)
-            live = c < m - 1
-            tau = jnp.where(live, tau, 0.0)
-            v = jnp.where(live, v, 0.0)
-            e = jnp.where((rows_e == off + c) & live, beta, e)
-            taus = taus.at[off + c].set(tau)
-            # -- w = tau * (A v - V (W^T v) - W (V^T v)), rows >= c+1
-            av = a @ v
-            av = av - V @ (W.T @ v) - W @ (V.T @ v)
-            w = tau * jnp.where(rows >= pivot, av, 0.0)
-            w = w - (0.5 * tau * (w @ v)) * v
-            V = lax.dynamic_update_slice(V, v[:, None], (0, j))
-            W = lax.dynamic_update_slice(W, w[:, None], (0, j))
-            return (V, W, d, e, taus)
-
-        V0 = jnp.zeros((m, b), dtype)
-        W0 = jnp.zeros((m, b), dtype)
-        V, W, d, e, taus = lax.fori_loop(
-            0, b, panel_step, (V0, W0, d, e, taus))
-        # V/W columns vanish outside the panel's trailing rows, so this
-        # full-size rank-2b update touches exactly the trailing block —
-        # concatenated into ONE GEMM (one pass over a, not two).
-        vw = jnp.concatenate([V, W], axis=1)
-        wv = jnp.concatenate([W, V], axis=1)
-        a = _wsc(_rank2b_update(a, vw, wv), mesh)
-        vstore = lax.dynamic_update_slice(vstore, V, (off, off + s))
-        return (a, d, e, taus, vstore)
-
     a, d, e, taus, vstore = lax.fori_loop(
-        0, n_panels, panel, (a, d0, e0, t0, vstore0))
+        0, n_panels, lambda p, c: _panel_body(p, c, b, mesh, off),
+        (a, d0, e0, t0, vstore0))
     return a, (vstore, d, e, taus)
+
+
+def _staged_chunk_fn(b: int, mesh: Optional[Mesh], chunk: int):
+    """Compiled ``chunk`` consecutive panels at a traced base index, every
+    carry donated (buffers reused in place across host-loop calls)."""
+    key = (b, mesh, chunk)
+    fn = _STAGED_CACHE.get(key)
+    if fn is None:
+        def run(p0, a, d, e, taus, vstore):
+            carry = (a, d, e, taus, vstore)
+            if chunk == 1:
+                return _panel_body(p0, carry, b, mesh, 0)
+            return lax.fori_loop(
+                0, chunk, lambda i, c: _panel_body(p0 + i, c, b, mesh, 0),
+                carry)
+        fn = jax.jit(run, donate_argnums=(1, 2, 3, 4, 5))
+        _STAGED_CACHE[key] = fn
+    return fn
+
+
+_STAGED_CACHE: dict = {}
+
+
+def tridiagonalize_staged(a: jax.Array, block: int = 64,
+                          mesh: Optional[Mesh] = None,
+                          donate_ok: bool = False) -> TridiagResult:
+    """Host-stepped uniform-schedule ``pdsytrd`` for worker-crash sizes.
+
+    The one-program bucketed ``tridiagonalize`` hard-crashes the tunneled
+    v5e TPU worker for n_pad in (28672, 32640..] — four clean repros at
+    32640/32768/32832 vs passes at 24576/28672 — while the IDENTICAL
+    per-panel computation runs fine as its own executable (0.4 s/panel at
+    n=32640, evidence/SWEEP_r5.md chain T / exp38).  This variant walks
+    all n/b panels from the host through ONE compiled panel program with
+    every carry donated, so the five buffers are reused in place across
+    calls and peak HBM is the same as the donated one-program path.
+
+    Schedule is uniform (no trailing-half recursion): every panel's
+    matvecs read the full (n, n) matrix, ~1.4x the bucketed HBM traffic
+    at 32k — the price of being the only schedule that runs there.
+    Masked reflectors leave the reduced leading block inert, so the
+    resulting (vstore, d, e, taus) layout is IDENTICAL to
+    ``tridiagonalize`` and ``apply_q`` consumes it unchanged.
+
+    ``EK_SYTRD_STAGE_CHUNK`` panels run per host call (default 1 — the
+    hardware-validated granularity); a dependent-scalar barrier every
+    ``EK_SYTRD_STAGE_SYNC`` calls (default 16) bounds the dispatch queue
+    and localizes async failures to a panel index.
+    """
+    import os
+
+    n = a.shape[0]
+    dtype = a.dtype
+    b = min(block, n)
+    if n % b != 0:
+        raise ValueError(f"dim {n} not divisible by block {block}")
+    if not donate_ok:
+        a = jnp.copy(a)  # the staged loop destroys its input buffer
+    chunk = max(1, int(os.environ.get("EK_SYTRD_STAGE_CHUNK", "1")))
+    sync = max(1, int(os.environ.get("EK_SYTRD_STAGE_SYNC", "16")))
+    n_panels = n // b
+    carry = (a, jnp.zeros((n,), dtype), jnp.zeros((max(n - 1, 1),), dtype),
+             jnp.zeros((n,), dtype), _wsc(jnp.zeros((n, n), dtype), mesh))
+    step = _staged_chunk_fn(b, mesh, chunk)
+    main = (n_panels // chunk) * chunk
+    calls = 0
+
+    def maybe_sync(p_done):
+        nonlocal calls
+        calls += 1
+        if calls % sync == 0:
+            # dependent scalar: bounds the queue, surfaces async errors
+            # at a known panel index
+            float(carry[1][min(p_done * b, n - 1)])
+
+    for p0 in range(0, main, chunk):
+        carry = step(jnp.asarray(p0), *carry)  # canonical int (x64-aware)
+        maybe_sync(p0 + chunk - 1)
+    if main < n_panels:
+        tail = _staged_chunk_fn(b, mesh, 1)
+        for p in range(main, n_panels):
+            carry = tail(jnp.asarray(p), *carry)
+            maybe_sync(p)
+    a, d, e, taus, vstore = carry
+    return TridiagResult(d=d, e=e if n > 1 else jnp.zeros((0,), dtype),
+                         V=vstore, taus=taus)
 
 
 def wy_t_factor(v: jax.Array, taus: jax.Array) -> jax.Array:

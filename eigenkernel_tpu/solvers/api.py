@@ -177,7 +177,11 @@ def solve(a: Any, b: Any = None, solver: str = "general_elpa2",
 
         sel = os.environ.get("EK_SELECT_CORE", "auto")
         if sel == "auto":
-            if jax.default_backend() == "tpu" and n >= 2048:
+            # 2048..16384 is the hardware-validated two-stage domain;
+            # beyond it the chase-store repack holds both O(n^2) layouts
+            # live (~17.4 GB at 32k, evidence/BUDGET_32K_r5.md) — the
+            # one-stage core (staged sytrd above 28672) fits instead
+            if jax.default_backend() == "tpu" and 2048 <= n <= 16384:
                 core = "two_stage"
         elif sel in ("one_stage", "two_stage"):
             core = sel

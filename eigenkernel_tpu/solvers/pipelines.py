@@ -191,9 +191,24 @@ def sep_one_stage(ctx: SolverContext, a: jax.Array, n_vec: int,
     # only donated on explicit request (EK_SYTRD_DONATE=1 destroys it)
     donate = (n_real is not None and n_real != n) \
         or os.environ.get("EK_SYTRD_DONATE") == "1"
-    tri_fn = _j_tridiagonalize_donated if donate else _j_tridiagonalize
-    tri = _run(ctx, "sep:tridiagonalize", tri_fn,
-               a, ctx.block_size, ctx.mesh, flops=fl.tridiagonalize(n))
+    # the one-program bucketed sytrd hard-crashes the tunneled v5e worker
+    # for n > 28672 (passes at 28672, four clean crash repros at
+    # 32640/32768/32832) while the identical per-panel computation runs
+    # fine as its own executable — route huge n through the host-stepped
+    # uniform schedule (evidence/SWEEP_r5.md chains L/N/O/S/T).
+    staged_env = os.environ.get("EK_SYTRD_STAGED", "auto")
+    staged = staged_env == "1" or (
+        staged_env == "auto" and jax.default_backend() == "tpu"
+        and n > int(os.environ.get("EK_SYTRD_STAGED_MIN", "28672")))
+    if staged:
+        tri = _run(ctx, "sep:tridiagonalize",
+                   lambda a_, blk, msh: householder.tridiagonalize_staged(
+                       a_, block=blk, mesh=msh, donate_ok=donate),
+                   a, ctx.block_size, ctx.mesh, flops=fl.tridiagonalize(n))
+    else:
+        tri_fn = _j_tridiagonalize_donated if donate else _j_tridiagonalize
+        tri = _run(ctx, "sep:tridiagonalize", tri_fn,
+                   a, ctx.block_size, ctx.mesh, flops=fl.tridiagonalize(n))
     full = n_vec * 2 >= n
     w, z = _run(ctx, "sep:tridiag_eigh", _j_tridiag_eigh,
                 tri.d, tri.e, n_vec, ctx.mesh,

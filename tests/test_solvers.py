@@ -86,6 +86,30 @@ def test_odd_dimension_padding(problem):
     assert p.vectors.shape == (n, n)
 
 
+def test_staged_sytrd(problem, monkeypatch):
+    """Host-stepped uniform-schedule sytrd (the >28672 worker-crash dodge,
+    evidence/SWEEP_r5.md chain T) must agree with the one-program bucketed
+    path bit-for-bit in d/e and solve correctly end to end."""
+    import jax.numpy as jnp
+
+    from eigenkernel_tpu.ops import householder as hh
+
+    A, _, wstd, _ = problem
+    a = jnp.asarray(A)
+    t0 = hh.tridiagonalize(a, block=32)
+    monkeypatch.setenv("EK_SYTRD_STAGE_CHUNK", "2")  # main + tail path
+    t1 = hh.tridiagonalize_staged(a, block=32)
+    assert float(jnp.max(jnp.abs(t0.d - t1.d))) == 0.0
+    assert float(jnp.max(jnp.abs(t0.e - t1.e))) == 0.0
+    assert float(jnp.max(jnp.abs(t0.V - t1.V))) == 0.0
+    monkeypatch.setenv("EK_SYTRD_STAGED", "1")
+    p = solve(A, solver="scalapack")
+    assert np.abs(np.array(p.values) - wstd).max() < 1e-10
+    V = np.array(p.vectors)
+    resid = A @ V - V * np.array(p.values)[None, :]
+    assert np.abs(resid).max() < 1e-10
+
+
 def test_force_npad(problem, monkeypatch):
     """EK_FORCE_NPAD pads the working dim past the natural multiple without
     changing results — the dodge for the 2^32-byte buffer platform wall
